@@ -1,0 +1,74 @@
+"""Tile/chunk rendering driver.
+
+The reference covers the screen with 32-px adaptive blocks scheduled onto a
+pthread pool (test.cpp:325-518).  Here the analogue is static chunking: the
+pixel grid × sample axis is split into uniform ray chunks, each rendered by
+one fully-vectorized jitted dispatch; XLA's SPMD replaces the thread pool.
+Chunks exist only to bound live memory (span lists are the footprint:
+~1 KB/ray at K≈24), not to load-balance — work per ray is uniform by
+construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptx.core import rng
+from ptx.core.constants import DEFAULT_RAY_DEPTH
+from ptx.integrate.camera import Camera, sample_rays
+from ptx.integrate.trace import CompiledScene, trace_rays
+
+
+@partial(jax.jit, static_argnames=("scene", "cam", "rows", "spp", "depth"))
+def _render_rows(scene: CompiledScene, params, cam: Camera, key,
+                 y0, rows: int, spp: int, depth: int):
+    ys = y0 + jnp.arange(rows)
+    xs = jnp.arange(cam.width)
+    o, d = sample_rays(cam, key, ys, xs, spp)
+    radiance = trace_rays(scene, params, o, d, key, depth)
+    return jnp.mean(radiance, axis=0)          # (rows, W, 3)
+
+
+def render(scene: CompiledScene, cam: Camera, key, spp: int = 16,
+           depth: int = DEFAULT_RAY_DEPTH, params=None,
+           rays_per_chunk: int = 2 ** 21, progress=None):
+    """Render a full frame → (H, W, 3) float32 radiance.
+
+    Splits the frame into row bands so each dispatch stays under
+    ``rays_per_chunk`` rays.  ``params`` defaults to the scene's own
+    (override for optimization loops).
+    """
+    params = scene.params if params is None else params
+    rows_per_chunk = max(1, min(cam.height,
+                                rays_per_chunk // max(1, cam.width * spp)))
+    out = []
+    y0 = 0
+    while y0 < cam.height:
+        rows = min(rows_per_chunk, cam.height - y0)
+        chunk_key = rng.fold(key, y0)
+        out.append(_render_rows(scene, params, cam, chunk_key,
+                                y0, rows, spp, depth))
+        if progress is not None:
+            progress(min(y0 + rows, cam.height), cam.height)
+        y0 += rows
+    return jnp.concatenate(out, axis=0)
+
+
+# hashability for jit static args -----------------------------------------
+# CompiledScene and Camera participate in jit cache keys by identity /
+# value respectively; Camera is a frozen dataclass (hashable unless pose is
+# an array — poses are passed as tuples), CompiledScene by object identity.
+def _scene_hash(self):
+    return id(self)
+
+
+def _scene_eq(self, other):
+    return self is other
+
+
+CompiledScene.__hash__ = _scene_hash
+CompiledScene.__eq__ = _scene_eq

@@ -1,0 +1,123 @@
+"""Material parameter table.
+
+A material is 5 texture slots + an index of refraction
+(``/root/reference/include/material.h:10-37``):
+
+- ``reflect``: reflection tint
+- ``scatter``: scatter coefficient, 0 = perfect mirror → 1 = fully diffuse
+- ``emissive``: emitted radiance
+- ``transmit``: transmission tint
+- ``transmit_reflect``: 0 = reflect → 1 = transmit weighting
+- ``ior``: scalar index of refraction (differentiable leaf)
+
+The compiled table evaluates every material's slots at a batch of shading
+points and gathers by material id — materials are few (the reference demo
+has 10), each slot is cheap (a constant broadcast or one image gather), and
+this keeps the wavefront free of data-dependent dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from ptx.shade import textures as tx
+
+
+def _as_tex(v):
+    if isinstance(v, (int, float)):
+        return tx.Constant(float(v))
+    if isinstance(v, (tuple, list, np.ndarray)):
+        return tx.Constant(np.asarray(v, np.float32))
+    return v
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Material:
+    """Slot defaults mirror the reference constructor (material.h:18-21)."""
+    reflect: Any = 1.0
+    scatter: Any = 1.0
+    emissive: Any = 0.0
+    transmit: Any = 0.0
+    ior: float = 1.0
+    transmit_reflect: Any = 0.0
+
+    def __post_init__(self):
+        for f in ("reflect", "scatter", "emissive", "transmit",
+                  "transmit_reflect"):
+            object.__setattr__(self, f, _as_tex(getattr(self, f)))
+
+
+def transform_material(A, mat: Material) -> Material:
+    """``transform(Matrix, Material*)`` — transforms every texture slot's
+    lookup coordinates; ior unchanged (material.h:39-42)."""
+    return Material(
+        reflect=tx.transform_texture(A, mat.reflect),
+        scatter=tx.transform_texture(A, mat.scatter),
+        emissive=tx.transform_texture(A, mat.emissive),
+        transmit=tx.transform_texture(A, mat.transmit),
+        ior=mat.ior,
+        transmit_reflect=tx.transform_texture(A, mat.transmit_reflect),
+    )
+
+
+SLOTS = ("reflect", "scatter", "emissive", "transmit", "transmit_reflect")
+
+
+def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
+    """Compile materials → (params_contrib, eval_fn).
+
+    ``eval_fn(params, pos, mat_id)`` evaluates all 5 slots at positions
+    ``pos`` ``(..., 3)`` for per-ray material ids ``(...,)`` and returns a
+    dict: color slots as ``(..., 3)``, plus scalar ``scatter_f`` /
+    ``transmit_reflect_f`` (channel means, texture.h:14-18) and ``ior``.
+    """
+    slot_fns = {s: [compiler.compile(getattr(m, s)) for m in materials_in_id_order]
+                for s in SLOTS}
+    iors = jnp.asarray(np.array([m.ior for m in materials_in_id_order], np.float32))
+
+    def eval_fn(params, pos, mat_id):
+        out = {}
+        for s in SLOTS:
+            vals = jnp.stack([fn(params, pos) for fn in slot_fns[s]])  # (M, ..., 3)
+            out[s] = jnp.take_along_axis(
+                jnp.moveaxis(vals, 0, -2),                 # (..., M, 3)
+                mat_id[..., None, None], axis=-2)[..., 0, :]
+        out["scatter_f"] = jnp.mean(out["scatter"], axis=-1)
+        out["transmit_reflect_f"] = jnp.mean(out["transmit_reflect"], axis=-1)
+        out["ior"] = params["ior"][mat_id]
+        return out
+
+    return {"ior": iors}, eval_fn
+
+
+def assign_material_ids(root) -> tuple:
+    """Walk a geometry tree collecting distinct materials in first-seen
+    order.  Returns (ordered materials, {id(mat): index})."""
+    from ptx.geom import tape
+
+    ordered, ids = [], {}
+
+    def visit(m):
+        if id(m) not in ids:
+            ids[id(m)] = len(ordered)
+            ordered.append(m)
+
+    def walk(node):
+        if isinstance(node, tape.Sphere) or isinstance(node, tape.Plane):
+            visit(node.material)
+        elif isinstance(node, tape.Transformed):
+            walk(node.obj)
+        elif isinstance(node, (tape.Union, tape.Intersection)):
+            for c in node.objects:
+                walk(c)
+        elif isinstance(node, tape.Difference):
+            walk(node.a); walk(node.b)
+        else:
+            raise TypeError(f"unknown scene node {type(node)!r}")
+
+    walk(root)
+    return ordered, ids
