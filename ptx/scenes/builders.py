@@ -1,0 +1,210 @@
+"""Scene construction helpers + the demo/benchmark scenes.
+
+Re-creations of the reference driver's scene vocabulary
+(``/root/reference/src/test.cpp:52-145``): the balanced ``unionArray`` (its
+n-ary collapse happens in the tape compiler), the CSG lens builders, the
+sky helpers (cubemap box / mirror-ball probe / equirect probe), and
+``make_world`` — the committed demo scene.  BASELINE config scenes #1-#4
+live here too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from ptx.core import linalg
+from ptx.core.constants import EPS
+from ptx.geom.tape import (Difference, Intersection, Plane, Sphere,
+                           Transformed, Union)
+from ptx.shade.materials import Material, transform_material
+from ptx.shade import textures as tx
+
+
+def union_array(objects):
+    """The reference builds a balanced binary union tree (test.cpp:52-64);
+    our Union is n-ary and the compiler merges in one event pass."""
+    return Union(*objects)
+
+
+def make_lens(position, orientation, radius, sphere_radius, material):
+    """Biconvex lens = intersection of two spheres (test.cpp:66-72)."""
+    position = np.asarray(position, np.float32)
+    orientation = np.asarray(orientation, np.float32)
+    orientation = orientation / np.linalg.norm(orientation)
+    dist = math.sqrt(max(sphere_radius ** 2 - radius ** 2, 0.0))
+    return Intersection(
+        Sphere(position + orientation * dist, sphere_radius, material),
+        Sphere(position - orientation * dist, sphere_radius, material),
+    )
+
+
+def make_lens_pointed_at(position, focus, focus_factor, radius, material):
+    """Lensmaker-derived curvature from ior + focus distance
+    (test.cpp:74-81)."""
+    ior = material.ior
+    assert ior > 1 + EPS
+    position = np.asarray(position, np.float32)
+    focus = np.asarray(focus, np.float32)
+    distance = float(np.linalg.norm(focus - position)) * focus_factor
+    assert distance > EPS
+    return make_lens(position, focus - position, radius,
+                     2.0 * distance * (ior - 1.0), material)
+
+
+# ---------------------------------------------------------------------------
+# sky helpers (test.cpp:88-105)
+# ---------------------------------------------------------------------------
+
+def make_sky_box(face_images) -> Material:
+    """``face_images``: dict with top/bottom/left/right/front/back arrays."""
+    return Material(reflect=0.0, scatter=0.0,
+                    emissive=tx.Skybox(**face_images))
+
+
+def make_sky_mirror_sphere(image, scale=(1.0, 1.0, 1.0)) -> Material:
+    return Material(reflect=0.0, scatter=0.0,
+                    emissive=tx.Multiply(scale, tx.MirrorBall(tx.ImageTex(image))))
+
+
+def make_sky_spherical(image, scale=(1.0, 1.0, 1.0)) -> Material:
+    return Material(reflect=0.0, scatter=0.0,
+                    emissive=tx.Multiply(scale, tx.SphericalCoords(tx.ImageTex(image))))
+
+
+def sky_planes(material, distance=200.0):
+    """Six axis-aligned inward-facing planes sharing one emissive material —
+    the reference's sky enclosure (test.cpp:134-140)."""
+    normals = [(0, 0, -1), (0, 0, 1), (0, -1, 0), (0, 1, 0), (1, 0, 0), (-1, 0, 0)]
+    return [Plane(np.asarray(n, np.float32), distance, material) for n in normals]
+
+
+def procedural_sky_image(h=64, w=128):
+    """A deterministic equirect HDR-ish gradient used when the reference's
+    (gitignored) probe asset is unavailable: blue-to-horizon gradient with a
+    bright 'sun' disc — enough dynamic range to exercise HDR paths."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    v = ys / (h - 1)          # 0 bottom .. 1 top (lookup flips)
+    u = xs / (w - 1)
+    sky = np.stack([0.25 + 0.3 * v, 0.4 + 0.4 * v, 0.7 + 0.3 * v], axis=-1)
+    sun = np.exp(-(((u - 0.7) * 18) ** 2 + ((v - 0.75) * 18) ** 2))
+    img = sky + sun[..., None] * np.array([40.0, 36.0, 30.0], np.float32)
+    return np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# demo + baseline scenes
+# ---------------------------------------------------------------------------
+
+def make_world(sky_image=None):
+    """The reference demo scene (test.cpp:107-145): two small diffuse
+    spheres, a glass CSG bulb (sphere ∩ (plane ∪ emissive core)), a glass
+    CSG lens, inside a 6-plane equirect-HDR sky rotated 90° about x."""
+    mat_diffuse = Material(reflect=0.8, scatter=1.0)
+    mat_emit_w = Material(reflect=0.0, scatter=0.0, emissive=2.0)
+    mat_glass = Material(reflect=0.7, scatter=0.0, emissive=0.0,
+                         transmit=0.9, ior=1.3, transmit_reflect=1.0)
+
+    if sky_image is None:
+        sky_image = procedural_sky_image()
+    sky = transform_material(
+        np.asarray(linalg.rotate_x(2 * math.pi / 4)),
+        make_sky_spherical(sky_image, scale=(0.01, 0.01, 0.01)))
+
+    shift = np.asarray(linalg.translate((-1.0, 0.0, 4.0)))
+    objects = [
+        Sphere((1.0, 0.0, -4.0), 0.2, transform_material(shift, mat_diffuse)),
+        Intersection(
+            Sphere((1.0, 0.0, -4.0), 1.0, mat_glass),
+            Union(
+                Plane.from_point((-1.0, 0.0, -0.7), (1.0, 0.0, -4.0), mat_glass),
+                Sphere((1.0, 0.0, -4.0), 0.2, transform_material(shift, mat_emit_w)),
+            ),
+        ),
+        Sphere((-1.0, 0.0, -4.0), 0.2, mat_diffuse),
+        *sky_planes(sky),
+        make_lens((-2.5 / 4, 0.0, -2.5), (-1.0, 0.0, -4.0), 0.5, 1.0, mat_glass),
+    ]
+    return union_array(objects)
+
+
+def baseline_config1():
+    """BASELINE config #1: single diffuse sphere + ground plane, constant
+    sky — the minimum end-to-end slice."""
+    diffuse = Material(reflect=0.8, scatter=1.0)
+    ground = Material(reflect=0.6, scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    return union_array([
+        Sphere((0.0, 0.0, -4.0), 1.0, diffuse),
+        Plane((0.0, 1.0, 0.0), 1.0, ground),   # half-space y <= -1
+        *sky_planes(sky),
+    ])
+
+
+def baseline_config2():
+    """BASELINE config #2: CSG union/intersection/difference of transformed
+    spheres and planes, diffuse only."""
+    red = Material(reflect=(0.8, 0.3, 0.3), scatter=1.0)
+    green = Material(reflect=(0.3, 0.8, 0.3), scatter=1.0)
+    blue = Material(reflect=(0.3, 0.3, 0.8), scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(1.0, 1.0, 1.0))
+    csg = Union(
+        Difference(
+            Sphere((-1.2, 0.0, -4.0), 0.8, red),
+            Sphere((-0.8, 0.3, -3.4), 0.5, green),
+        ),
+        Intersection(
+            Sphere((1.0, 0.0, -4.0), 0.8, blue),
+            Transformed(
+                Sphere((1.4, 0.0, -4.0), 0.8, green),
+                np.asarray(linalg.translate((0.0, 0.1, 0.0))),
+            ),
+        ),
+    )
+    return union_array([csg, Plane((0.0, 1.0, 0.0), 1.0, red), *sky_planes(sky)])
+
+
+def baseline_config3():
+    """BASELINE config #3: specular reflection + glass transmission,
+    multi-bounce."""
+    mirror = Material(reflect=0.99, scatter=0.0)
+    glass = Material(reflect=0.7, scatter=0.0, transmit=0.9, ior=1.3,
+                     transmit_reflect=1.0)
+    diffuse = Material(reflect=(0.7, 0.6, 0.5), scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.9, 0.9, 1.0))
+    return union_array([
+        Sphere((-1.0, 0.0, -4.0), 0.8, mirror),
+        Sphere((1.0, 0.0, -3.5), 0.7, glass),
+        Plane((0.0, 1.0, 0.0), 1.0, diffuse),
+        *sky_planes(sky),
+    ])
+
+
+def baseline_config4(sky_image=None):
+    """BASELINE config #4: HDR environment lighting + image-textured
+    material."""
+    if sky_image is None:
+        sky_image = procedural_sky_image()
+    sky = make_sky_spherical(sky_image, scale=(0.05, 0.05, 0.05))
+    checker = _checker_image()
+    textured = Material(
+        reflect=tx.TransformedTex(np.asarray(linalg.scale(0.25)),
+                                  tx.ImageTex(checker)),
+        scatter=1.0)
+    mirror = Material(reflect=0.95, scatter=0.0)
+    return union_array([
+        Sphere((0.0, 0.0, -4.0), 1.0, textured),
+        Sphere((1.8, 0.5, -5.0), 0.8, mirror),
+        Plane((0.0, 1.0, 0.0), 1.0, textured),
+        *sky_planes(sky),
+    ])
+
+
+def _checker_image(n=8):
+    yy, xx = np.mgrid[0:n, 0:n]
+    c = ((yy + xx) % 2).astype(np.float32)
+    img = np.stack([0.2 + 0.6 * c, 0.25 + 0.5 * c, 0.3 + 0.4 * c,
+                    np.ones_like(c)], axis=-1)
+    return img
