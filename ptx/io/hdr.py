@@ -82,6 +82,19 @@ def read(path_or_bytes):
     if h <= 0 or w <= 0 or w >= 1 << 15:
         raise HDRError("invalid resolution string")
 
+    # native fast path (ptx.runtime): same wire format, ~100x faster on
+    # multi-megapixel probes
+    try:
+        from ptx.runtime import rgbe_decode, runtime_available
+    except ImportError:
+        runtime_available = lambda: False
+    if runtime_available():
+        pos = buf.tell()
+        try:
+            return rgbe_to_float(rgbe_decode(buf.read(), w, h), scale)
+        except Exception:
+            buf.seek(pos)         # fall through to the Python decoder
+
     rgbe = np.empty((h, w, 4), np.uint8)
     for y in range(h):
         intro = buf.read(4)
@@ -197,10 +210,18 @@ def write(path, img: np.ndarray) -> None:
     out = bytearray()
     out += b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
     out += f"-Y {h} +X {w}\n".encode()
-    for y in range(h):
-        out += bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF])
-        for comp in range(4):
-            out += _rle_encode(rgbe[y, :, comp])
+    try:
+        from ptx.runtime import rgbe_encode, runtime_available
+        native = runtime_available()
+    except ImportError:
+        native = False
+    if native:
+        out += rgbe_encode(rgbe)
+    else:
+        for y in range(h):
+            out += bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF])
+            for comp in range(4):
+                out += _rle_encode(rgbe[y, :, comp])
     with open(path, "wb") as f:
         f.write(bytes(out))
 

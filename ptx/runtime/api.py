@@ -1,0 +1,295 @@
+"""ctypes bindings for the native runtime (libptxrt.so).
+
+The shared library is built from ``ptx/runtime/src`` on first use (g++,
+no external deps) and cached next to the sources.  Every facility has a
+pure-Python fallback so the framework degrades gracefully on hosts without
+a toolchain:
+
+- :func:`rgbe_decode` / :func:`rgbe_encode` — fast RGBE scanline RLE
+  (fallback: ptx.io.hdr's Python codec);
+- :class:`WorkPool` — native task pool (C24's successor);
+- :class:`RenderFarmServer` / :class:`RenderFarmClient` — the TCP tile
+  farm (C26/C27's successor); the server calls back into Python where the
+  JAX/TPU render runs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libptxrt.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+RENDER_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int,
+    ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+    ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
+    ctypes.POINTER(ctypes.c_float), ctypes.c_void_p)
+
+TASK_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-s", "-C", _DIR], check=True,
+                       capture_output=True, timeout=180)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_library():
+    """Load (building if needed) libptxrt; returns None when unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        lib.ptx_rgbe_decode.restype = ctypes.c_int
+        lib.ptx_rgbe_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.ptx_rgbe_encode.restype = ctypes.c_int
+        lib.ptx_rgbe_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+
+        lib.ptx_pool_create.restype = ctypes.c_void_p
+        lib.ptx_pool_create.argtypes = [ctypes.c_int]
+        lib.ptx_pool_submit.argtypes = [ctypes.c_void_p, TASK_FN, ctypes.c_void_p]
+        lib.ptx_pool_wait.argtypes = [ctypes.c_void_p]
+        lib.ptx_pool_width.restype = ctypes.c_int
+        lib.ptx_pool_width.argtypes = [ctypes.c_void_p]
+        lib.ptx_pool_destroy.argtypes = [ctypes.c_void_p]
+
+        lib.ptx_server_start.restype = ctypes.c_void_p
+        lib.ptx_server_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, RENDER_CB, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int]
+        lib.ptx_server_port.restype = ctypes.c_int
+        lib.ptx_server_port.argtypes = [ctypes.c_void_p]
+        lib.ptx_server_stop.argtypes = [ctypes.c_void_p]
+
+        lib.ptx_client_create.restype = ctypes.c_void_p
+        lib.ptx_client_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.ptx_client_render_tile.restype = ctypes.c_int
+        lib.ptx_client_render_tile.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.ptx_client_destroy.argtypes = [ctypes.c_void_p]
+
+        _lib = lib
+        return _lib
+
+
+def runtime_available() -> bool:
+    return load_library() is not None
+
+
+# ---------------------------------------------------------------------------
+# RGBE fast path
+# ---------------------------------------------------------------------------
+
+def rgbe_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode RLE scanline bytes → uint8 (h, w, 4); native when possible."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    out = np.empty((h, w, 4), np.uint8)
+    rc = lib.ptx_rgbe_decode(
+        data, len(data), w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError(f"rgbe decode failed ({rc})")
+    return out
+
+
+def rgbe_encode(rgbe: np.ndarray) -> bytes:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    rgbe = np.ascontiguousarray(rgbe, np.uint8)
+    h, w = rgbe.shape[:2]
+    out_len = ctypes.c_size_t()
+    src = rgbe.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.ptx_rgbe_encode(src, w, h, None, 0, ctypes.byref(out_len))
+    buf = (ctypes.c_uint8 * out_len.value)()
+    rc = lib.ptx_rgbe_encode(src, w, h, buf, out_len.value,
+                             ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"rgbe encode failed ({rc})")
+    return bytes(buf[:out_len.value])
+
+
+# ---------------------------------------------------------------------------
+# pool
+# ---------------------------------------------------------------------------
+
+class WorkPool:
+    """Native thread pool for host-side tasks (IO, tile assembly)."""
+
+    def __init__(self, nthreads: int = 0):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._pool = lib.ptx_pool_create(nthreads)
+        self._keep = []          # keep callbacks alive
+
+    @property
+    def width(self) -> int:
+        return self._lib.ptx_pool_width(self._pool)
+
+    def submit(self, fn) -> None:
+        cb = TASK_FN(lambda _arg: fn())
+        self._keep.append(cb)
+        self._lib.ptx_pool_submit(self._pool, cb, None)
+
+    def wait(self) -> None:
+        self._lib.ptx_pool_wait(self._pool)
+        self._keep.clear()
+
+    def close(self) -> None:
+        if self._pool:
+            self._lib.ptx_pool_destroy(self._pool)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# render farm
+# ---------------------------------------------------------------------------
+
+class RenderFarmServer:
+    """Serves tile render requests over TCP (reference ``--server`` mode,
+    test.cpp:722-778).  ``render_fn(x0, y0, w, h, spp, depth, seed)`` must
+    return a float32 (h, w, 3) array — typically a jitted TPU render."""
+
+    def __init__(self, render_fn, port: int = 12346, bind: str = "",
+                 threads: int = 0, max_inflight: int = 0):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+
+        def cb(x0, y0, w, h, spp, depth, seed, out_ptr, _user):
+            try:
+                img = np.ascontiguousarray(
+                    render_fn(x0, y0, w, h, spp, depth, seed), np.float32)
+                if img.shape != (h, w, 3):
+                    return 2
+                ctypes.memmove(out_ptr, img.ctypes.data,
+                               img.nbytes)
+                return 0
+            except Exception:
+                return 1
+
+        self._cb = RENDER_CB(cb)      # must outlive the server
+        self._srv = lib.ptx_server_start(bind.encode(), port, self._cb, None,
+                                         threads, max_inflight)
+        if not self._srv:
+            raise OSError(f"cannot bind render farm server on port {port}")
+
+    @property
+    def port(self) -> int:
+        return self._lib.ptx_server_port(self._srv)
+
+    def stop(self) -> None:
+        if self._srv:
+            self._lib.ptx_server_stop(self._srv)
+            self._srv = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+class RenderFarmClient:
+    """Farms tiles to servers (reference ``--client addr...`` mode,
+    test.cpp:520-676): server rotation, stateless retry with backoff."""
+
+    def __init__(self, addresses, default_port: int = 12346,
+                 retry_ms: int = 1000, max_attempts: int = 0):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        hosts, ports = [], []
+        for a in addresses:
+            host, _, port = str(a).partition(":")
+            hosts.append(host.encode())
+            ports.append(int(port) if port else default_port)
+        arr_h = (ctypes.c_char_p * len(hosts))(*hosts)
+        arr_p = (ctypes.c_int * len(ports))(*ports)
+        self._cli = lib.ptx_client_create(arr_h, arr_p, len(hosts),
+                                          retry_ms, max_attempts)
+
+    def render_tile(self, x0, y0, w, h, spp, depth, seed) -> np.ndarray:
+        out = np.empty((h, w, 3), np.float32)
+        rc = self._lib.ptx_client_render_tile(
+            self._cli, x0, y0, w, h, spp, depth, seed,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise OSError("tile render failed after max attempts")
+        return out
+
+    def render_image(self, width, height, tile: int = 64, spp: int = 16,
+                     depth: int = 16, seed: int = 0,
+                     parallel: int = 8, progress=None) -> np.ndarray:
+        """Assemble a full frame from farmed tiles using a local thread
+        fan-out (one in-flight request per thread, like the reference's
+        one-comm-thread-per-block, test.cpp:523-537)."""
+        import concurrent.futures as cf
+
+        img = np.zeros((height, width, 3), np.float32)
+        jobs = []
+        for y0 in range(0, height, tile):
+            for x0 in range(0, width, tile):
+                jobs.append((x0, y0, min(tile, width - x0),
+                             min(tile, height - y0)))
+        done = 0
+        with cf.ThreadPoolExecutor(parallel) as ex:
+            futs = {ex.submit(self.render_tile, x0, y0, w, h, spp, depth,
+                              seed + (y0 << 20) + x0): (x0, y0, w, h)
+                    for x0, y0, w, h in jobs}
+            for fut in cf.as_completed(futs):
+                x0, y0, w, h = futs[fut]
+                img[y0:y0 + h, x0:x0 + w] = fut.result()
+                done += 1
+                if progress is not None:
+                    progress(done, len(jobs))
+        return img
+
+    def close(self) -> None:
+        if self._cli:
+            self._lib.ptx_client_destroy(self._cli)
+            self._cli = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

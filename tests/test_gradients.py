@@ -1,0 +1,96 @@
+"""Differentiability: analytic pixel gradients vs central finite
+differences — the BASELINE.json metric.
+
+Common random numbers (identical RNG keys across FD evaluations) make the
+Monte-Carlo estimator a fixed deterministic function of the perturbed
+parameter, so FD and autodiff differentiate the *same* function; agreement
+is then limited only by float32 FD conditioning and the measure-zero
+discrete-selection flips (hit index, branch choice, rejection accepts) that
+autodiff deliberately treats as constant (stop_gradient).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ptx.geom.tape import Plane, Sphere, Union
+from ptx.integrate.trace import compile_scene, trace_rays
+from ptx.shade.materials import Material
+
+
+@pytest.fixture(scope="module")
+def setup():
+    diffuse = Material(reflect=0.8, scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    normals = [(0, 0, -1), (0, 0, 1), (0, -1, 0), (0, 1, 0), (1, 0, 0), (-1, 0, 0)]
+    world = Union(
+        Sphere((0.0, 0.0, -4.0), 1.2, diffuse),
+        Plane((0.0, 1.0, 0.0), 1.0, diffuse),
+        *[Plane(np.asarray(n, np.float32), 200.0, sky) for n in normals],
+    )
+    scene = compile_scene(world)
+
+    # a fixed fan of rays covering sphere, ground, and sky pixels
+    g = np.random.default_rng(0)
+    n = 48
+    d = np.stack([g.uniform(-0.45, 0.45, n), g.uniform(-0.45, 0.45, n),
+                  np.full(n, -1.0)], -1).astype(np.float32)
+    S = 256         # samples per ray (common random numbers across evals)
+    o = jnp.zeros((S, n, 3))
+    dirs = jnp.tile(jnp.asarray(d)[None], (S, 1, 1))
+
+    def loss(params):
+        r = trace_rays(scene, params, o, dirs, jax.random.PRNGKey(0), depth=4)
+        return jnp.mean(r)
+
+    return scene, jax.jit(loss), jax.jit(jax.grad(loss))
+
+
+def _fd_check(scene, loss, grad_fn, path, idx, h, rtol, atol=1e-5):
+    params = scene.params
+    g = np.asarray(jax.tree.map(np.asarray, grad_fn(params))[path])[idx]
+    up = dict(params); up[path] = params[path].at[idx].add(h)
+    dn = dict(params); dn[path] = params[path].at[idx].add(-h)
+    fd = (float(loss(up)) - float(loss(dn))) / (2 * h)
+    assert abs(g - fd) <= rtol * max(abs(fd), abs(g)) + atol, (
+        path, idx, g, fd)
+    return g, fd
+
+
+def test_grad_material_reflect(setup):
+    scene, loss, grad_fn = setup
+    # const[0] is the diffuse material's reflect color
+    g, fd = _fd_check(scene, loss, grad_fn, "const", (0, 1), 1e-2, 0.05)
+    assert abs(g) > 1e-4          # nontrivial gradient
+
+
+def test_grad_sky_emissive(setup):
+    scene, loss, grad_fn = setup
+    # the sky emissive constant — linear in the loss, FD should be tight
+    consts = np.asarray(scene.params["const"])
+    idx = next(i for i, c in enumerate(consts)
+               if np.allclose(c, (0.7, 0.8, 1.0)))
+    g, fd = _fd_check(scene, loss, grad_fn, "const", (idx, 2), 1e-2, 0.02)
+    assert g > 1e-3               # more sky light → brighter image
+
+
+def test_grad_sphere_radius(setup):
+    scene, loss, grad_fn = setup
+    # geometry gradient: differentiable a.e.; edge pixels add FD noise →
+    # looser tolerance (SURVEY §7 hard-parts note)
+    _fd_check(scene, loss, grad_fn, "sphere_radius", (0,), 1e-3, 0.25,
+              atol=5e-3)
+
+
+def test_grad_sphere_center(setup):
+    scene, loss, grad_fn = setup
+    _fd_check(scene, loss, grad_fn, "sphere_center", (0, 2), 1e-3, 0.25,
+              atol=5e-3)
+
+
+def test_grad_finite_everywhere(setup):
+    scene, loss, grad_fn = setup
+    grads = grad_fn(scene.params)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
