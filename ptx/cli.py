@@ -1,0 +1,241 @@
+"""Command-line driver — the reference ``main()``'s successor
+(``/root/reference/src/test.cpp:800-1096``).
+
+Modes (reference flags in parentheses):
+
+- ``ptx render scene.json`` — render to ``image%08X.bmp`` + ``.hdr`` (the
+  hex-epoch naming of test.cpp:1057,1070); ``--novideo`` was the headless
+  flag — headless is our default, ``--preview`` adds a live terminal
+  half-block preview (the SDL window's successor).
+- ``ptx render --demo`` — the built-in ``makeWorld`` demo scene.
+- ``ptx serve`` (``--server``) — TCP render-farm worker: accepts tile
+  requests, renders on the local chip(s), streams tiles back.
+- ``ptx farm addr [addr...]`` (``--client``) — farm tiles to servers and
+  assemble the frame locally.
+- ``ptx bench`` — the headline benchmark (same as bench.py).
+
+Checkpoint/resume: ``--checkpoint path.npz`` accumulates per-pixel sample
+sums; interrupting and re-running continues from the recorded sample count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _build_scene(args):
+    from ptx.integrate.camera import Camera
+    from ptx.integrate.trace import compile_scene
+    from ptx.scenes import builders
+    from ptx.scenes.spec import SceneSpec
+
+    if args.scene:
+        world, cam, opts = SceneSpec.load(args.scene).build()
+    else:
+        name = args.demo or "demo"
+        world = {
+            "demo": builders.make_world,
+            "config1": builders.baseline_config1,
+            "config2": builders.baseline_config2,
+            "config3": builders.baseline_config3,
+            "config4": builders.baseline_config4,
+        }[name]()
+        cam, opts = None, {}
+    width = args.width or int(opts.get("width", 0)) or (cam.width if cam else 640)
+    height = args.height or int(opts.get("height", 0)) or (cam.height if cam else 480)
+    cam = Camera.reference_demo(width, height) if cam is None else (
+        cam if (cam.width, cam.height) == (width, height)
+        else Camera(width, height, cam.screen_width, cam.screen_height,
+                    cam.screen_distance, cam.pose))
+    spp = args.spp or int(opts.get("spp", 10))
+    depth = args.depth or int(opts.get("depth", 16))
+    return compile_scene(world), cam, spp, depth
+
+
+def _terminal_preview(img):
+    """ANSI half-block live preview — the SDL surface's terminal successor."""
+    import numpy as np
+    h, w = img.shape[:2]
+    cols = min(80, w)
+    rows = min(44, h - h % 2)
+    ys = (np.linspace(0, h - 1, rows)).astype(int)
+    xs = (np.linspace(0, w - 1, cols)).astype(int)
+    small = np.clip(img[ys][:, xs] * 256, 0, 255).astype(int)
+    out = []
+    for y in range(0, rows - 1, 2):
+        line = []
+        for x in range(cols):
+            t, b = small[y, x], small[y + 1, x]
+            line.append(f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
+                        f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀")
+        out.append("".join(line) + "\x1b[0m")
+    sys.stdout.write("\x1b[H\x1b[2J" + "\n".join(out) + "\n")
+    sys.stdout.flush()
+
+
+def cmd_render(args):
+    import numpy as np
+    import jax
+
+    from ptx.core import rng as prng
+    from ptx.integrate.render import _render_rows
+    from ptx.io import bmp as bmp_io, hdr as hdr_io
+    from ptx.parallel.checkpoint import RenderAccumulator
+
+    scene, cam, spp, depth = _build_scene(args)
+    acc = RenderAccumulator(cam.height, cam.width, args.checkpoint)
+    done_spp = acc.samples_done if args.checkpoint else 0
+    if done_spp >= spp:
+        print(f"checkpoint already has {done_spp}/{spp} spp")
+    key = jax.random.PRNGKey(args.seed)
+
+    spp_step = max(1, min(spp, args.spp_chunk))
+    rows = max(1, min(cam.height, args.rays_per_chunk // (cam.width * spp_step)))
+    t0 = time.time()
+    s = done_spp
+    while s < spp:
+        cur = min(spp_step, spp - s)
+        y0 = 0
+        while y0 < cam.height:
+            nrows = min(rows, cam.height - y0)
+            k = prng.fold(key, s, y0)
+            img = _render_rows(scene, scene.params, cam, k,
+                               y0, nrows, cur, depth)
+            acc.add(np.asarray(img), cur, y0)
+            y0 += nrows
+            done = (s - done_spp) * cam.height + y0
+            total = (spp - done_spp) * cam.height
+            if args.preview:
+                _terminal_preview(acc.image())
+            else:
+                sys.stdout.write(f"\r[{done}/{total} row-samples] "
+                                 f"{time.time() - t0:.1f}s")
+                sys.stdout.flush()
+        s += cur
+        if args.checkpoint:
+            acc.save()
+    print()
+
+    final = acc.image()
+    stamp = f"{int(time.time()):08X}"
+    out_base = args.out or f"image{stamp}"
+    bmp_io.write(out_base + ".bmp", final)
+    hdr_io.write(out_base + ".hdr", final)
+    rays = cam.width * cam.height * (spp - done_spp) * (depth + 1)
+    dt = time.time() - t0
+    print(f"wrote {out_base}.bmp/.hdr  ({rays / max(dt, 1e-9):.3g} rays/s)")
+
+
+def cmd_serve(args):
+    import numpy as np
+    import jax
+
+    from ptx.core import rng as prng
+    from ptx.integrate.camera import Camera
+    from ptx.integrate.render import _render_rows
+    from ptx.runtime import RenderFarmServer
+
+    scene, cam, _, _ = _build_scene(args)
+
+    def render_fn(x0, y0, w, h, spp, depth, seed):
+        # farm tiles are full-width row bands of the global camera; partial
+        # x-tiles are cropped from a full-width render of those rows
+        k = jax.random.PRNGKey(seed & 0x7FFFFFFF)
+        img = _render_rows(scene, scene.params, cam, k,
+                           int(y0), int(h), int(spp), int(depth))
+        return np.asarray(img)[:, x0:x0 + w]
+
+    srv = RenderFarmServer(render_fn, port=args.port,
+                           max_inflight=args.max_inflight)
+    print(f"ptx render-farm server on :{srv.port} "
+          f"(scene={args.scene or args.demo or 'demo'})")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+def cmd_farm(args):
+    import numpy as np
+
+    from ptx.io import bmp as bmp_io, hdr as hdr_io
+    from ptx.runtime import RenderFarmClient
+
+    scene, cam, spp, depth = _build_scene(args)
+    with RenderFarmClient(args.addresses, default_port=args.port) as cli:
+        t0 = time.time()
+
+        def progress(done, total):
+            sys.stdout.write(f"\r[{done}/{total} tiles] {time.time()-t0:.1f}s")
+            sys.stdout.flush()
+
+        img = cli.render_image(cam.width, cam.height, tile=args.tile,
+                               spp=spp, depth=depth, seed=args.seed,
+                               parallel=args.parallel, progress=progress)
+    print()
+    stamp = f"{int(time.time()):08X}"
+    out_base = args.out or f"image{stamp}"
+    bmp_io.write(out_base + ".bmp", img)
+    hdr_io.write(out_base + ".hdr", img)
+    print(f"wrote {out_base}.bmp/.hdr")
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ptx",
+                                description="TPU-native CSG path tracer")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", help="scene spec JSON")
+        sp.add_argument("--demo", choices=["demo", "config1", "config2",
+                                           "config3", "config4"],
+                        help="built-in scene")
+        sp.add_argument("--width", type=int, default=0)
+        sp.add_argument("--height", type=int, default=0)
+        sp.add_argument("--spp", type=int, default=0)
+        sp.add_argument("--depth", type=int, default=0)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--out", help="output basename")
+
+    sp = sub.add_parser("render", help="render locally")
+    common(sp)
+    sp.add_argument("--preview", action="store_true",
+                    help="live terminal preview")
+    sp.add_argument("--checkpoint", help="sample-sum checkpoint (.npz)")
+    sp.add_argument("--spp-chunk", type=int, default=4)
+    sp.add_argument("--rays-per-chunk", type=int, default=2 ** 21)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("serve", help="render-farm worker (TCP)")
+    common(sp)
+    sp.add_argument("--port", type=int, default=12346)
+    sp.add_argument("--max-inflight", type=int, default=0)
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("farm", help="farm tiles to servers")
+    common(sp)
+    sp.add_argument("addresses", nargs="+", help="server host[:port] list")
+    sp.add_argument("--port", type=int, default=12346)
+    sp.add_argument("--tile", type=int, default=64)
+    sp.add_argument("--parallel", type=int, default=8)
+    sp.set_defaults(fn=cmd_farm)
+
+    sp = sub.add_parser("bench", help="headline benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
