@@ -60,15 +60,23 @@ class CompiledScene:
 
     ``params`` is the differentiable pytree: geometry leaves, transform
     matrices, texture constants/factors/matrices/images, per-material ior.
+
+    Two equivalent geometry paths exist: ``hit_fn`` (the production
+    single-sort direct first-hit, ptx.geom.fasthit) and ``spans_fn`` +
+    :func:`first_hit` (the span-merge reference path, kept for span-level
+    consumers and as a cross-check oracle).
     """
     params: dict
     spans_fn: Callable          # (params, origin, dir) -> SpanList
     material_fn: Callable       # (params, pos, mat_id) -> slot dict
     n_materials: int
     plan: Any = None
+    hit_fn: Callable = None     # (params, origin, dir) -> first-hit dict
 
 
-def compile_scene(root) -> CompiledScene:
+def compile_scene(root, fast: bool = True) -> CompiledScene:
+    from ptx.geom.fasthit import compile_fast_hit
+
     ordered_materials, mat_ids = mats.assign_material_ids(root)
     geo_params, spans_fn, plan = tape.compile_geometry(root, mat_ids)
     compiler = tx.TextureCompiler()
@@ -79,7 +87,8 @@ def compile_scene(root) -> CompiledScene:
     params.update(compiler.finalize())
     return CompiledScene(params=params, spans_fn=spans_fn,
                          material_fn=material_fn,
-                         n_materials=len(ordered_materials), plan=plan)
+                         n_materials=len(ordered_materials), plan=plan,
+                         hit_fn=compile_fast_hit(plan) if fast else None)
 
 
 # ---------------------------------------------------------------------------
@@ -178,8 +187,10 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         o, d, throughput, strength, alive, radiance = carry
         k = rng.fold(key, bounce_idx)
 
-        sl = scene.spans_fn(params, o, d)
-        hit = first_hit(sl)
+        if scene.hit_fn is not None:
+            hit = scene.hit_fn(params, o, d)
+        else:
+            hit = first_hit(scene.spans_fn(params, o, d))
         live_hit = alive & hit["hit"]
 
         pos = o + hit["t"][..., None] * d
