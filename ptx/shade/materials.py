@@ -74,18 +74,43 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
     ``pos`` ``(..., 3)`` for per-ray material ids ``(...,)`` and returns a
     dict: color slots as ``(..., 3)``, plus scalar ``scatter_f`` /
     ``transmit_reflect_f`` (channel means, texture.h:14-18) and ``ior``.
+
+    Constant slots (the vast majority — the demo scene has one image slot
+    out of 30) resolve through a single (M,)-indexed gather into the
+    differentiable constant table; only procedural/image slots evaluate
+    per-ray, selected by material-id mask.  This keeps the per-bounce
+    shading cost at ~#dynamic-slots gathers instead of M×5 evaluations.
     """
-    slot_fns = {s: [compiler.compile(getattr(m, s)) for m in materials_in_id_order]
-                for s in SLOTS}
+    M = len(materials_in_id_order)
+    const_idx = {s: np.zeros(M, np.int64) for s in SLOTS}
+    dynamic = {s: [] for s in SLOTS}        # (material_index, fn)
+    zero_idx = None
+    for mi, m in enumerate(materials_in_id_order):
+        for s in SLOTS:
+            texn = getattr(m, s)
+            if isinstance(texn, tx.Constant):
+                # compiler.compile(Constant) appends to the const table;
+                # record its row for direct gathering
+                row = len(compiler.params["const"])
+                compiler.compile(texn)
+                const_idx[s][mi] = row
+            else:
+                if zero_idx is None:
+                    zero_idx = len(compiler.params["const"])
+                    compiler.compile(tx.Constant(0.0))   # placeholder row
+                const_idx[s][mi] = zero_idx
+                dynamic[s].append((mi, compiler.compile(texn)))
+    const_idx = {s: jnp.asarray(v) for s, v in const_idx.items()}
     iors = jnp.asarray(np.array([m.ior for m in materials_in_id_order], np.float32))
 
     def eval_fn(params, pos, mat_id):
         out = {}
         for s in SLOTS:
-            vals = jnp.stack([fn(params, pos) for fn in slot_fns[s]])  # (M, ..., 3)
-            out[s] = jnp.take_along_axis(
-                jnp.moveaxis(vals, 0, -2),                 # (..., M, 3)
-                mat_id[..., None, None], axis=-2)[..., 0, :]
+            val = params["const"][const_idx[s][mat_id]]       # (..., 3)
+            for mi, fn in dynamic[s]:
+                dyn = fn(params, pos)
+                val = jnp.where((mat_id == mi)[..., None], dyn, val)
+            out[s] = val
         out["scatter_f"] = jnp.mean(out["scatter"], axis=-1)
         out["transmit_reflect_f"] = jnp.mean(out["transmit_reflect"], axis=-1)
         out["ior"] = params["ior"][mat_id]
