@@ -6,30 +6,36 @@ qualifying boundary of the root CSG solid's span list.  Materializing the
 merged span list per CSG node (ptx.geom.spans: one 2K-event sort per node)
 does far more work than that answer needs.  Equivalent one-pass scheme:
 
-1. every primitive leaf contributes its 2 boundary events ``(t, leaf,
-   is_start)`` — 2L events total for L leaves;
-2. ONE batched sort orders the events (tie-break: starts before ends, so
-   touching spans coalesce exactly like the reference union merge);
-3. root *insideness* after each event comes from evaluating the boolean
-   CSG tape over per-leaf membership bits ``t0_k <= t < t1_k`` — pure
-   vectorized boolean algebra, no merging;
-4. insideness *transitions* are the root solid's boundaries; the first-hit
-   walk collapses to "first transition event with ``t >= EPS``" — provably
-   identical to the reference's per-span condition ladder, because a
-   span's qualifying boundary is always the earliest root boundary ≥ EPS:
-   - that event's ``t >= MAX_VALUE``  ⇒ escaped (sky sentinel rule),
-   - up-transition  ⇒ entry hit (leaf normal, 1/ior),
-   - down-transition ⇒ exit hit (negated normal, ior);
-5. boundary payload = the generating leaf's normal/material; a leaf under
+1. every primitive leaf contributes its 2 boundary times — 2L candidates
+   for L leaves (no ordering ever imposed on them);
+2. root *insideness* just before / just after each candidate comes from
+   evaluating the boolean CSG tape over per-leaf membership bits
+   (``t0 < t <= t1`` / ``t0 <= t < t1``) — two (2L × L) compare tensors
+   and two boolean folds, pure vectorized algebra, no merging;
+3. a candidate where before ≠ after is a boundary of the root solid;
+   the first-hit walk collapses to "**minimum** boundary with
+   ``t >= EPS``" — provably identical to the reference's per-span
+   condition ladder, because a span's qualifying boundary is always the
+   earliest root boundary ≥ EPS:
+   - that boundary's ``t >= MAX_VALUE``  ⇒ escaped (sky sentinel rule),
+   - inside-after  ⇒ entry hit (leaf normal, 1/ior),
+   - outside-after ⇒ exit hit (negated normal, ior);
+4. boundary payload = the generating leaf's normal/material; a leaf under
    the B-side of an odd number of ``Difference`` nodes negates its normal
    (the ``copyEndFromStart``/``copyStartFromEnd`` rule, span.h:100-112),
    so ``final = n_event · parity · (+1 entry / −1 exit)``.
 
-Cost per ray: one sort of 2L scalars + a (2L × L) compare + a boolean
-fold — versus ~nodes × sort(2K·9 channels) for the merge cascade.  No
-span-capacity ceiling, same gradients (event ``t``/normals differentiable,
-selection index stop-gradient).  Cross-checked against the span-merge
-path in tests/test_fasthit.py.
+Exactly-coincident boundaries (touching union spans) merge automatically:
+both membership bits flip inside one evaluation, so no root transition is
+seen — the union-coalescing rule without any sort tie-break.  Degenerate
+tangencies (measure-zero under jittered sampling) report as misses where
+the reference emits zero-length spans.
+
+Cost per ray: two (2L × L) bool compare/fold tensors + one argmin —
+no sort at all — versus ~nodes × sort(2K·9 channels) for the merge
+cascade.  No span-capacity ceiling, same gradients (boundary ``t``/
+normals differentiable, selection index stop-gradient).  Cross-checked
+against the span-merge path in tests/test_fasthit.py.
 """
 
 from __future__ import annotations
@@ -126,45 +132,46 @@ def compile_fast_hit(plan, params_ref=None):
                 stack(vs))
 
     def hit_fn(params, origin, direction):
+        """Sort-free first hit.
+
+        Every leaf boundary time ``t_i`` is a *candidate*; root membership
+        just before (``t0 < t <= t1``) and just after (``t0 <= t < t1``)
+        each candidate is evaluated independently — two (B, 2L, L) compare
+        tensors folded through the boolean tape.  A candidate where the
+        two differ is a boundary of the root solid; the first-hit walk
+        (path-trace.h:66-99) reduces to the *minimum* boundary with
+        ``t >= EPS``.  Exactly-coincident boundaries merge automatically
+        (both memberships flip inside one evaluation — the union
+        coalescing rule), so no sort, no tie-break, no permutation.
+        """
         t0, t1, n0, n1, valid = leaf_intervals(params, origin, direction)
         t0 = jnp.where(valid, t0, _PAD_T)
         t1 = jnp.where(valid, t1, _PAD_T)
 
-        # events: starts then ends; tie-break starts-before-ends
         t_evt = jnp.concatenate([t0, t1], axis=-1)              # (B, 2L)
-        tie = jnp.concatenate([jnp.zeros_like(t0, jnp.int32),
-                               jnp.ones_like(t1, jnp.int32)], axis=-1)
-        perm0 = jax.lax.broadcasted_iota(jnp.int32, t_evt.shape,
-                                         t_evt.ndim - 1)
-        t_sorted, _, perm = jax.lax.sort((t_evt, tie, perm0), dimension=-1,
-                                         num_keys=2, is_stable=True)
-        perm = jax.lax.stop_gradient(perm)
+        ts = t_evt[..., :, None]                                 # (B, 2L, 1)
+        lo = t0[..., None, :]                                    # (B, 1, L)
+        hi = t1[..., None, :]
+        after = (lo <= ts) & (ts < hi)
+        before = (lo < ts) & (ts <= hi)
+        root_after = tape_bits(plan, after)                      # (B, 2L)
+        root_before = tape_bits(plan, before)
+        candidate = (root_after != root_before) & (t_evt >= EPS)
 
-        # membership of every leaf just after every event time
-        # (B, 2L, L): t0 <= t < t1
-        ts = t_sorted[..., :, None]
-        inside = (t0[..., None, :] <= ts) & (ts < t1[..., None, :])
-        root = tape_bits(plan, inside)                           # (B, 2L)
-        root_prev = jnp.pad(root[..., :-1],
-                            [(0, 0)] * (root.ndim - 1) + [(1, 0)],
-                            constant_values=False)
-        crossing = root != root_prev
-
-        trigger = crossing & (t_sorted >= EPS)
-        any_trigger = jnp.any(trigger, axis=-1)
-        idx = jax.lax.stop_gradient(jnp.argmax(trigger, axis=-1))
+        t_masked = jnp.where(candidate, t_evt, _PAD_T)
+        idx = jax.lax.stop_gradient(jnp.argmin(t_masked, axis=-1))
+        any_trigger = jnp.any(candidate, axis=-1)
 
         take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-        t_hit = take(t_sorted)
+        t_hit = take(t_evt)
         escaped = t_hit >= MAX_VALUE
         hit = any_trigger & ~escaped
-        entering = take(root)          # up-transition ⇒ now inside
+        entering = take(root_after)    # inside just after ⇒ entry boundary
 
-        evt_idx = take(perm)           # pre-sort event index: leaf + side
-        leaf_idx = evt_idx % L
+        leaf_idx = idx % L
         n_all = jnp.concatenate([n0, n1], axis=-2)               # (B, 2L, 3)
         n_evt = jnp.take_along_axis(
-            n_all, evt_idx[..., None, None], axis=-2)[..., 0, :]
+            n_all, idx[..., None, None], axis=-2)[..., 0, :]
         sign = parity[leaf_idx] * jnp.where(entering, 1.0, -1.0)
         normal = n_evt * sign[..., None]
         mat_id = mat_ids[leaf_idx]
