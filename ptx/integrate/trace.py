@@ -47,12 +47,15 @@ from ptx.geom import tape
 from ptx.shade import materials as mats
 from ptx.shade import textures as tx
 
-# Unrolled tries for the scatter-direction rejection loop.  The reference
+# Tries for the scatter-direction rejection sampler.  The reference
 # resamples up to 1000 times and abandons the path beyond that
-# (path-trace.h:144-152); acceptance is ≥ ~0.5 per try, so 16 tries leave a
-# ~1.5e-5 abandonment probability — the same give-up semantics, reached
-# sooner, costing half the per-bounce RNG work of a deeper unroll.
-SCATTER_TRIES = 16
+# (path-trace.h:144-152); joint cube∧hemisphere acceptance is ≥ ~0.27 per
+# try, so 32 tries leave a ≤5e-5 abandonment probability — the same
+# give-up semantics, reached sooner.  All tries draw from ONE batched
+# uniform call (no per-try transcendentals), then the first acceptable
+# candidate is selected — identical distribution to the reference's
+# sequential cube-rejection ball sampling (vector3d.h:163-185).
+SCATTER_TRIES = 32
 
 
 @dataclasses.dataclass
@@ -155,15 +158,18 @@ def sample_scatter_dir(key, direction, normal, scatter_c):
     safe_sc = jnp.where(specular, 1.0, sc)
     bias = (1.0 / safe_sc - 1.0)[..., None] * reflected
 
-    chosen = jnp.zeros_like(direction)
-    accepted = jnp.zeros(direction.shape[:-1], bool)
-    for i in range(SCATTER_TRIES):
-        ball = rng.sample_unit_ball(rng.fold(key, i), direction.shape[:-1])
-        cand = ball + bias
-        ok = linalg.dot(normal, cand) > EPS
-        fresh = ok & ~accepted
-        chosen = jnp.where(fresh[..., None], cand, chosen)
-        accepted = accepted | ok
+    # one batched draw for every try: (..., T, 3) uniforms in [-1, 1]
+    u = jax.random.uniform(key, direction.shape[:-1] + (SCATTER_TRIES, 3),
+                           minval=-1.0, maxval=1.0)
+    in_ball = jnp.sum(u * u, axis=-1) <= 1.0          # cube→ball rejection
+    cand = u + bias[..., None, :]
+    above = jnp.einsum("...i,...ti->...t", normal, cand) > EPS
+    ok_t = in_ball & above
+    accepted = jnp.any(ok_t, axis=-1)
+    first = jnp.argmax(ok_t, axis=-1)
+    first = jax.lax.stop_gradient(first)
+    chosen = jnp.take_along_axis(cand, first[..., None, None],
+                                 axis=-2)[..., 0, :]
     accepted = jax.lax.stop_gradient(accepted)
 
     out = jnp.where(specular[..., None], reflected, linalg.normalize(chosen))
