@@ -94,94 +94,169 @@ def compile_fast_hit(plan, params_ref=None):
             return out
         return kids[0] & ~kids[1]          # difference
 
-    # ---- per-leaf interval kernels --------------------------------------
-    def leaf_intervals(params, origin, direction):
-        """Returns t0, t1 (B, L), n0, n1 (B, L, 3), valid (B, L)."""
-        t0s, t1s, n0s, n1s, vs = [], [], [], [], []
+    # ---- per-leaf interval kernels (batch-minor SoA) --------------------
+    # TPU lanes run along the LAST axis; every per-ray quantity is kept as
+    # (B,)-component vectors and structural axes (leaf, candidate) lead —
+    # so (2L, L, B) compare tensors tile the 128-lane axis perfectly
+    # instead of padding a 13-wide minor dim.
+    def leaf_intervals(params, ox, oy, oz, dx, dy, dz):
+        """Returns t0, t1 (L, B), n0*/n1* components (L, B)."""
+        t0s, t1s = [], []
+        n0c = ([], [], [])
+        n1c = ([], [], [])
         for lf, _p in leaves:
-            o, d = origin, direction
+            lox, loy, loz, ldx, ldy, ldz = ox, oy, oz, dx, dy, dz
+            nrm = None
             if lf.xform_chain:
                 w = params["xform"][lf.xform_chain[0]]
                 for i in lf.xform_chain[1:]:
                     w = linalg.compose(w, params["xform"][i])
                 w_inv = linalg.inverse(w)
-                o, d = linalg.transform_ray(w_inv, o, d)
-                nrm_mat = jnp.transpose(w_inv[:, :3])
-            else:
-                nrm_mat = None
+                A, tvec = w_inv[:, :3], w_inv[:, 3]
+                lox = A[0, 0] * ox + A[0, 1] * oy + A[0, 2] * oz + tvec[0]
+                loy = A[1, 0] * ox + A[1, 1] * oy + A[1, 2] * oz + tvec[1]
+                loz = A[2, 0] * ox + A[2, 1] * oy + A[2, 2] * oz + tvec[2]
+                ldx = A[0, 0] * dx + A[0, 1] * dy + A[0, 2] * dz
+                ldy = A[1, 0] * dx + A[1, 1] * dy + A[1, 2] * dz
+                ldz = A[2, 0] * dx + A[2, 1] * dy + A[2, 2] * dz
+                nrm = jnp.transpose(w_inv[:, :3])       # A^{-T}
+
             if lf.kind == "sphere":
-                sl = primitives.sphere_spans(
-                    o, d, params["sphere_center"][lf.index],
-                    params["sphere_radius"][lf.index], lf.mat_id)
+                c = params["sphere_center"][lf.index]
+                r = params["sphere_radius"][lf.index]
+                ocx, ocy, ocz = lox - c[0], loy - c[1], loz - c[2]
+                a = ldx * ldx + ldy * ldy + ldz * ldz
+                b = ocx * ldx + ocy * ldy + ocz * ldz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - a * cc
+                ok = (disc > EPS) & (a != 0.0)
+                sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+                sa = jnp.where(a == 0.0, 1.0, a)
+                t0 = (-b - sq) / sa
+                t1 = (-b + sq) / sa
+                inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+                nx0 = (ocx + t0 * ldx) * inv_r
+                ny0 = (ocy + t0 * ldy) * inv_r
+                nz0 = (ocz + t0 * ldz) * inv_r
+                nx1 = (ocx + t1 * ldx) * inv_r
+                ny1 = (ocy + t1 * ldy) * inv_r
+                nz1 = (ocz + t1 * ldz) * inv_r
             else:
-                sl = primitives.plane_spans(
-                    o, d, params["plane_normal"][lf.index],
-                    params["plane_d"][lf.index], lf.mat_id)
-            n0 = sl.n0[..., 0, :]
-            n1 = sl.n1[..., 0, :]
-            if nrm_mat is not None:
-                n0 = _apply_norm(nrm_mat, n0)
-                n1 = _apply_norm(nrm_mat, n1)
-            t0s.append(sl.t0[..., 0])
-            t1s.append(sl.t1[..., 0])
-            n0s.append(n0)
-            n1s.append(n1)
-            vs.append(sl.valid[..., 0])
-        stack = lambda xs, ax=-1: jnp.stack(xs, axis=ax)
-        return (stack(t0s), stack(t1s), stack(n0s, -2), stack(n1s, -2),
-                stack(vs))
+                n = params["plane_normal"][lf.index]
+                dplane = params["plane_d"][lf.index]
+                inv_mag = 1.0 / jnp.sqrt(jnp.maximum(
+                    n[0] * n[0] + n[1] * n[1] + n[2] * n[2], 1e-30))
+                divisor = ldx * n[0] + ldy * n[1] + ldz * n[2]
+                numer = -dplane - (lox * n[0] + loy * n[1] + loz * n[2])
+                safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0,
+                                     divisor)
+                t = numer / safe_div
+                degenerate = (jnp.abs(divisor) < EPS * EPS) | (
+                    jnp.abs(t) >= MAX_VALUE)
+                on_boundary = jnp.abs(numer) < EPS * EPS
+                entering_half = divisor < 0.0
+                full = degenerate & on_boundary
+                ok = ~(degenerate & ~on_boundary)
+                t0 = jnp.where(full, -MAX_VALUE,
+                               jnp.where(entering_half, t, -MAX_VALUE))
+                t1 = jnp.where(full, MAX_VALUE,
+                               jnp.where(entering_half, MAX_VALUE, t))
+                one = jnp.ones_like(t)
+                nx0 = nx1 = n[0] * inv_mag * one
+                ny0 = ny1 = n[1] * inv_mag * one
+                nz0 = nz1 = n[2] * inv_mag * one
+
+            if nrm is not None:
+                def xf(nx, ny, nz):
+                    wx = nrm[0, 0] * nx + nrm[0, 1] * ny + nrm[0, 2] * nz
+                    wy = nrm[1, 0] * nx + nrm[1, 1] * ny + nrm[1, 2] * nz
+                    wz = nrm[2, 0] * nx + nrm[2, 1] * ny + nrm[2, 2] * nz
+                    mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+                    inv = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
+                    return wx * inv, wy * inv, wz * inv
+                nx0, ny0, nz0 = xf(nx0, ny0, nz0)
+                nx1, ny1, nz1 = xf(nx1, ny1, nz1)
+
+            t0s.append(jnp.where(ok, t0, _PAD_T))
+            t1s.append(jnp.where(ok, t1, _PAD_T))
+            for lst, v in zip(n0c, (nx0, ny0, nz0)):
+                lst.append(v)
+            for lst, v in zip(n1c, (nx1, ny1, nz1)):
+                lst.append(v)
+        st = lambda xs: jnp.stack(xs, axis=0)
+        return (st(t0s), st(t1s),
+                tuple(st(c) for c in n0c), tuple(st(c) for c in n1c))
 
     def hit_fn(params, origin, direction):
-        """Sort-free first hit.
+        """Sort-free first hit (see module docstring), batch-minor layout.
 
-        Every leaf boundary time ``t_i`` is a *candidate*; root membership
-        just before (``t0 < t <= t1``) and just after (``t0 <= t < t1``)
-        each candidate is evaluated independently — two (B, 2L, L) compare
-        tensors folded through the boolean tape.  A candidate where the
-        two differ is a boundary of the root solid; the first-hit walk
-        (path-trace.h:66-99) reduces to the *minimum* boundary with
-        ``t >= EPS``.  Exactly-coincident boundaries merge automatically
-        (both memberships flip inside one evaluation — the union
-        coalescing rule), so no sort, no tie-break, no permutation.
+        Every leaf boundary time is a *candidate*; root membership just
+        before (``t0 < t <= t1``) and just after (``t0 <= t < t1``) each
+        candidate is evaluated independently and folded through the
+        boolean tape; the first-hit walk (path-trace.h:66-99) reduces to
+        the *minimum* root-membership transition with ``t >= EPS``.
         """
-        t0, t1, n0, n1, valid = leaf_intervals(params, origin, direction)
-        t0 = jnp.where(valid, t0, _PAD_T)
-        t1 = jnp.where(valid, t1, _PAD_T)
+        batch_shape = origin.shape[:-1]
+        flat = lambda a: a.reshape((-1,))
+        ox, oy, oz = (flat(origin[..., i]) for i in range(3))
+        dx, dy, dz = (flat(direction[..., i]) for i in range(3))
 
-        t_evt = jnp.concatenate([t0, t1], axis=-1)              # (B, 2L)
-        ts = t_evt[..., :, None]                                 # (B, 2L, 1)
-        lo = t0[..., None, :]                                    # (B, 1, L)
-        hi = t1[..., None, :]
-        after = (lo <= ts) & (ts < hi)
+        t0, t1, (n0x, n0y, n0z), (n1x, n1y, n1z) = leaf_intervals(
+            params, ox, oy, oz, dx, dy, dz)
+
+        t_evt = jnp.concatenate([t0, t1], axis=0)               # (2L, B)
+        ts = t_evt[:, None, :]                                   # (2L, 1, B)
+        lo = t0[None, :, :]                                      # (1, L, B)
+        hi = t1[None, :, :]
+        after = (lo <= ts) & (ts < hi)                           # (2L, L, B)
         before = (lo < ts) & (ts <= hi)
-        root_after = tape_bits(plan, after)                      # (B, 2L)
-        root_before = tape_bits(plan, before)
+
+        def bits_at(node, bits):
+            if isinstance(node, tape._LeafPlan):
+                return bits[:, leaf_pos[id(node)], :]
+            kids = [bits_at(c, bits) for c in node.children]
+            if node.op == "union":
+                out = kids[0]
+                for k in kids[1:]:
+                    out = out | k
+                return out
+            if node.op == "intersection":
+                out = kids[0]
+                for k in kids[1:]:
+                    out = out & k
+                return out
+            return kids[0] & ~kids[1]
+
+        root_after = bits_at(plan, after)                        # (2L, B)
+        root_before = bits_at(plan, before)
         candidate = (root_after != root_before) & (t_evt >= EPS)
 
         t_masked = jnp.where(candidate, t_evt, _PAD_T)
-        idx = jax.lax.stop_gradient(jnp.argmin(t_masked, axis=-1))
-        any_trigger = jnp.any(candidate, axis=-1)
+        idx = jax.lax.stop_gradient(jnp.argmin(t_masked, axis=0))  # (B,)
+        any_trigger = jnp.any(candidate, axis=0)
 
-        take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+        take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
         t_hit = take(t_evt)
         escaped = t_hit >= MAX_VALUE
         hit = any_trigger & ~escaped
         entering = take(root_after)    # inside just after ⇒ entry boundary
 
         leaf_idx = idx % L
-        n_all = jnp.concatenate([n0, n1], axis=-2)               # (B, 2L, 3)
-        n_evt = jnp.take_along_axis(
-            n_all, idx[..., None, None], axis=-2)[..., 0, :]
+        nx = take(jnp.concatenate([n0x, n1x], axis=0))
+        ny = take(jnp.concatenate([n0y, n1y], axis=0))
+        nz = take(jnp.concatenate([n0z, n1z], axis=0))
         sign = parity[leaf_idx] * jnp.where(entering, 1.0, -1.0)
-        normal = n_evt * sign[..., None]
+        normal = jnp.stack([nx * sign, ny * sign, nz * sign], axis=-1)
         mat_id = mat_ids[leaf_idx]
 
+        unflat = lambda a: a.reshape(batch_shape)
         return {
-            "t": jnp.where(hit, t_hit, 0.0),
-            "normal": normal,
-            "mat_id": jax.lax.stop_gradient(jnp.where(hit, mat_id, 0)),
-            "entering": entering,
-            "hit": hit,
+            "t": unflat(jnp.where(hit, t_hit, 0.0)),
+            "normal": normal.reshape(batch_shape + (3,)),
+            "mat_id": jax.lax.stop_gradient(
+                unflat(jnp.where(hit, mat_id, 0))),
+            "entering": unflat(entering),
+            "hit": unflat(hit),
         }
 
     return hit_fn
