@@ -78,7 +78,16 @@ class CompiledScene:
     hit_fn: Callable = None     # (params, origin, dir) -> first-hit dict
 
 
-def compile_scene(root, fast: bool = True) -> CompiledScene:
+def compile_scene(root, fast: bool = True,
+                  pallas: bool | None = None) -> CompiledScene:
+    """Compile a scene tree.
+
+    ``pallas`` selects the fused Pallas first-hit megakernel
+    (ptx.ops.fasthit_kernel); default: on when running on TPU, overridable
+    via the PTX_PALLAS env var ("1"/"0").
+    """
+    import os
+
     from ptx.geom.fasthit import compile_fast_hit
 
     ordered_materials, mat_ids = mats.assign_material_ids(root)
@@ -89,10 +98,24 @@ def compile_scene(root, fast: bool = True) -> CompiledScene:
     params = dict(geo_params)
     params.update(mat_params)
     params.update(compiler.finalize())
+
+    if pallas is None:
+        env = os.environ.get("PTX_PALLAS")
+        if env is not None:
+            pallas = env == "1"
+        else:
+            pallas = jax.default_backend() == "tpu"
+    if fast and pallas:
+        from ptx.ops.fasthit_kernel import build_hit_kernel
+        hit_fn = build_hit_kernel(plan)
+    elif fast:
+        hit_fn = compile_fast_hit(plan)
+    else:
+        hit_fn = None
     return CompiledScene(params=params, spans_fn=spans_fn,
                          material_fn=material_fn,
                          n_materials=len(ordered_materials), plan=plan,
-                         hit_fn=compile_fast_hit(plan) if fast else None)
+                         hit_fn=hit_fn)
 
 
 # ---------------------------------------------------------------------------
