@@ -223,9 +223,12 @@ def build_hit_kernel(plan):
             t1s.append(t1)
             normal_fns.append(nfn)
 
+        # all-f32 register state: Mosaic (this toolchain) rejects
+        # select-of-bool chains ("unsupported bitwidth for truncation"),
+        # so the entering flag is carried as 0.0/1.0
         best_t = jnp.full(ox.shape, _PAD_T, jnp.float32)
-        best_i = jnp.zeros(ox.shape, jnp.int32)
-        best_after = jnp.zeros(ox.shape, bool)
+        best_i = jnp.zeros(ox.shape, jnp.float32)        # event index as f32
+        best_after_f = jnp.zeros(ox.shape, jnp.float32)
         any_c = jnp.zeros(ox.shape, bool)
         for i in range(2 * L):
             ti = t0s[i % L] if i < L else t1s[i % L]
@@ -236,10 +239,12 @@ def build_hit_kernel(plan):
             cand = (after != before) & (ti >= EPS)
             better = cand & (ti < best_t)
             best_t = jnp.where(better, ti, best_t)
-            best_i = jnp.where(better, jnp.int32(i), best_i)
-            best_after = jnp.where(better, after, best_after)
+            best_i = jnp.where(better, jnp.float32(i), best_i)
+            best_after_f = jnp.where(better, jnp.where(after, 1.0, 0.0),
+                                     best_after_f)
             any_c = any_c | cand
 
+        best_after = best_after_f > 0.5
         escaped = best_t >= MAX_VALUE
         hit = any_c & ~escaped
         leaf_idx = jnp.where(best_i >= L, best_i - L, best_i)
@@ -247,28 +252,24 @@ def build_hit_kernel(plan):
         nx = jnp.zeros(ox.shape, jnp.float32)
         ny = jnp.zeros(ox.shape, jnp.float32)
         nz = jnp.zeros(ox.shape, jnp.float32)
+        par = jnp.zeros(ox.shape, jnp.float32)
         for k in range(L):
-            sel = leaf_idx == k
+            sel = leaf_idx == jnp.float32(k)
             kx, ky, kz = normal_fns[k](best_t, None)
             nx = jnp.where(sel, kx, nx)
             ny = jnp.where(sel, ky, ny)
             nz = jnp.where(sel, kz, nz)
-        par = jnp.zeros(ox.shape, jnp.float32)
-        mat = jnp.zeros(ox.shape, jnp.int32)
-        for k in range(L):
-            sel = leaf_idx == k
             par = jnp.where(sel, jnp.float32(parity_np[k]), par)
-            mat = jnp.where(sel, jnp.int32(mats_np[k]), mat)
         sign = par * jnp.where(best_after, 1.0, -1.0)
 
         t_ref[...] = jnp.where(hit, best_t, 0.0)
         nx_ref[...] = nx * sign
         ny_ref[...] = ny * sign
         nz_ref[...] = nz * sign
-        # flags: bit0 hit, bit1 entering
-        flags_ref[...] = (hit.astype(jnp.int32)
-                          + 2 * best_after.astype(jnp.int32))
-        leaf_ref[...] = jnp.where(hit, best_i, 0)
+        # flags = hit + 2·entering; evt = float(best event index)
+        flags_ref[...] = (jnp.where(hit, 1.0, 0.0)
+                          + jnp.where(best_after, 2.0, 0.0))
+        leaf_ref[...] = jnp.where(hit, best_i, 0.0)
 
     interpret = jax.default_backend() != "tpu"
 
@@ -294,8 +295,8 @@ def build_hit_kernel(plan):
                 jax.ShapeDtypeStruct(shape2, jnp.float32),   # nx
                 jax.ShapeDtypeStruct(shape2, jnp.float32),   # ny
                 jax.ShapeDtypeStruct(shape2, jnp.float32),   # nz
-                jax.ShapeDtypeStruct(shape2, jnp.int32),     # flags
-                jax.ShapeDtypeStruct(shape2, jnp.int32),     # event idx
+                jax.ShapeDtypeStruct(shape2, jnp.float32),   # flags
+                jax.ShapeDtypeStruct(shape2, jnp.float32),   # event idx
             ],
             interpret=interpret,
         )(packed[None, :], as2(ox), as2(oy), as2(oz),
@@ -340,9 +341,10 @@ def build_hit_kernel(plan):
         t, nx, ny, nz, flags, evt = run_kernel(packed, ox, oy, oz,
                                                dx, dy, dz)
         cut = lambda a: a[:n].reshape(batch_shape)
-        hit_i = cut(flags) & 1
-        entering_i = (cut(flags) >> 1) & 1
-        evt_c = cut(evt)
+        flags_i = cut(flags).astype(jnp.int32)
+        hit_i = flags_i & 1
+        entering_i = (flags_i >> 1) & 1
+        evt_c = cut(evt).astype(jnp.int32)
         leaf_c = jnp.where(evt_c >= L, evt_c - L, evt_c)
         return {
             "t": cut(t),
