@@ -35,7 +35,7 @@ import time
 REF_HOST_RAYS_PER_SEC = 0.587e6
 
 
-def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=4,
+def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=2,
               iters=3):
     import jax
     import jax.numpy as jnp
@@ -47,7 +47,7 @@ def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=4,
     scene = compile_scene(make_world())
     cam = Camera.reference_demo(width, height)
     key = jax.random.PRNGKey(0)
-    rows = height // 4
+    rows = height // 8            # ~64k-ray chunks: best measured occupancy
 
     def chunk_loss(params, key, y0):
         ys = y0 + jnp.arange(rows)

@@ -16,7 +16,7 @@ def test_kernel_matches_jnp_path(scene_fn):
     scene = compile_scene(scene_fn(), pallas=False)
     pk = build_hit_kernel(scene.plan)
     g = np.random.default_rng(0)
-    n = 500                      # non-multiple of the tile: exercises padding
+    n = 260                      # non-multiple of the tile: exercises padding
     o = jnp.asarray(g.uniform(-1, 1, (n, 3)).astype(np.float32))
     d = jnp.asarray(g.normal(size=(n, 3)).astype(np.float32))
     a = {k: np.asarray(v) for k, v in pk(scene.params, o, d).items()}
@@ -34,7 +34,7 @@ def test_kernel_vjp_matches_jnp_grads():
     scene = compile_scene(baseline_config2(), pallas=False)
     pk = build_hit_kernel(scene.plan)
     g = np.random.default_rng(1)
-    n = 256
+    n = 128
     o = jnp.zeros((n, 3))
     d = jnp.asarray(np.stack([g.uniform(-0.6, 0.6, n),
                               g.uniform(-0.6, 0.6, n),
