@@ -82,15 +82,19 @@ def sky_planes(material, distance=200.0):
 
 
 def procedural_sky_image(h=64, w=128):
-    """A deterministic equirect HDR-ish gradient used when the reference's
-    (gitignored) probe asset is unavailable: blue-to-horizon gradient with a
-    bright 'sun' disc — enough dynamic range to exercise HDR paths."""
+    """A deterministic equirect HDR gradient used when the reference's
+    (gitignored) probe asset is unavailable: blue-to-horizon gradient with
+    a bright sun disc.  Radiance magnitudes follow real outdoor probes
+    (sky ~10², sun ~10⁴) so the demo scene's ×0.01 sky scale
+    (test.cpp:123) yields a sensibly exposed image."""
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     v = ys / (h - 1)          # 0 bottom .. 1 top (lookup flips)
     u = xs / (w - 1)
-    sky = np.stack([0.25 + 0.3 * v, 0.4 + 0.4 * v, 0.7 + 0.3 * v], axis=-1)
+    sky = 100.0 * np.stack([0.25 + 0.3 * v, 0.4 + 0.4 * v, 0.7 + 0.3 * v],
+                           axis=-1)
     sun = np.exp(-(((u - 0.7) * 18) ** 2 + ((v - 0.75) * 18) ** 2))
-    img = sky + sun[..., None] * np.array([40.0, 36.0, 30.0], np.float32)
+    img = sky + sun[..., None] * np.array([4000.0, 3600.0, 3000.0],
+                                          np.float32)
     return np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1)
 
 
