@@ -52,7 +52,8 @@ def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=2,
     def chunk_loss(params, key, y0):
         ys = y0 + jnp.arange(rows)
         o, d = sample_rays(cam, key, ys, jnp.arange(width), spp_chunk)
-        radiance = trace_rays(scene, params, o, d, key, depth)
+        radiance = trace_rays(scene, params, o, d, key, depth,
+                              remat=False)   # chunks are small: residuals fit
         return jnp.mean(radiance)
 
     grad_fn = jax.jit(jax.value_and_grad(chunk_loss))

@@ -9,7 +9,11 @@ Run:  python examples/inverse_render.py [--steps 40] [--size 48]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -205,11 +205,14 @@ def sample_scatter_dir(key, direction, normal, scatter_c):
 # ---------------------------------------------------------------------------
 
 def trace_rays(scene: CompiledScene, params, origin, direction, key,
-               depth: int = DEFAULT_RAY_DEPTH):
+               depth: int = DEFAULT_RAY_DEPTH, remat: bool = True):
     """Trace a wavefront of rays to radiance estimates ``(..., 3)``.
 
     ``origin``/``direction`` have shape ``(..., 3)``; one stochastic path
     is followed per ray for up to ``depth`` bounces (+ the primary hit).
+    ``remat`` rematerializes each bounce in reverse-mode (O(1) residual
+    memory per bounce); turn off when chunk sizes leave headroom and the
+    backward pass dominates.
     """
     batch_shape = origin.shape[:-1]
 
@@ -286,7 +289,8 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         jnp.ones(batch_shape, bool),
         jnp.zeros(batch_shape + (3,), jnp.float32),
     )
-    bounce = jax.checkpoint(bounce)   # O(1) residuals per bounce in reverse
+    if remat:
+        bounce = jax.checkpoint(bounce)   # O(1) residuals/bounce in reverse
     (_, _, _, _, _, radiance), _ = jax.lax.scan(
         bounce, init, jnp.arange(depth + 1))
     return radiance

@@ -31,7 +31,8 @@ from ptx.integrate.trace import CompiledScene, trace_rays
 from ptx.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
 
 
-def _local_render(scene, cam, depth, spp_local, params, key, y0, rows):
+def _local_render(scene, cam, depth, spp_local, params, key, y0, rows,
+                  remat=True):
     """Render ``rows`` rows starting at (traced) ``y0`` with
     ``spp_local`` samples; used inside shard_map so axis indices decorrelate
     RNG across devices."""
@@ -41,7 +42,7 @@ def _local_render(scene, cam, depth, spp_local, params, key, y0, rows):
     ys = y0 + jnp.arange(rows)
     xs = jnp.arange(cam.width)
     o, d = sample_rays(cam, k, ys, xs, spp_local)
-    radiance = trace_rays(scene, params, o, d, k, depth)
+    radiance = trace_rays(scene, params, o, d, k, depth, remat=remat)
     local_mean = jnp.mean(radiance, axis=0)
     return jax.lax.pmean(local_mean, SAMPLE_AXIS)
 
@@ -77,7 +78,7 @@ def render_sharded(scene: CompiledScene, cam: Camera, mesh, key,
 
 def make_train_step(scene: CompiledScene, cam: Camera, mesh,
                     spp: int = 16, depth: int = DEFAULT_RAY_DEPTH,
-                    learning_rate: float = 1e-2):
+                    learning_rate: float = 1e-2, remat: bool = True):
     """Build a jitted SGD step: ``step(params, target, key) ->
     (params, loss)`` with gradients allreduced over the mesh.
 
@@ -94,7 +95,7 @@ def make_train_step(scene: CompiledScene, cam: Camera, mesh,
         tile_idx = jax.lax.axis_index(TILE_AXIS)
         y0 = tile_idx * rows
         img = _local_render(scene, cam, depth, spp_local, params, key,
-                            y0, rows)
+                            y0, rows, remat=remat)
         return jnp.mean((img - target_rows) ** 2)
 
     def body(params, target_rows, key):
