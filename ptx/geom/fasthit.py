@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ptx.core import linalg
 from ptx.core.constants import EPS, MAX_VALUE
-from ptx.geom import primitives, tape
+from ptx.geom import tape
 
 _PAD_T = jnp.float32(3e20)
 
@@ -74,25 +74,7 @@ def compile_fast_hit(plan, params_ref=None):
     parity = jnp.asarray(np.array([p for _, p in leaves], np.float32))
     mat_ids = jnp.asarray(np.array([lf.mat_id for lf, _ in leaves], np.int32))
 
-    # ---- boolean tape over leaf bits ------------------------------------
     leaf_pos = {id(lf): i for i, (lf, _) in enumerate(leaves)}
-
-    def tape_bits(node, bits):
-        """bits: (..., L) leaf membership -> (...,) root membership."""
-        if isinstance(node, tape._LeafPlan):
-            return bits[..., leaf_pos[id(node)]]
-        kids = [tape_bits(c, bits) for c in node.children]
-        if node.op == "union":
-            out = kids[0]
-            for k in kids[1:]:
-                out = out | k
-            return out
-        if node.op == "intersection":
-            out = kids[0]
-            for k in kids[1:]:
-                out = out & k
-            return out
-        return kids[0] & ~kids[1]          # difference
 
     # ---- per-leaf interval kernels (batch-minor SoA) --------------------
     # TPU lanes run along the LAST axis; every per-ray quantity is kept as

@@ -25,7 +25,7 @@ arithmetic commutes with transforms.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ pixel-gradient metric differentiates.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

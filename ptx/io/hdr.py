@@ -23,7 +23,6 @@ portable fallback and the format oracle for tests.
 from __future__ import annotations
 
 import io as _io
-import math
 
 import numpy as np
 

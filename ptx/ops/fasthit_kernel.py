@@ -21,9 +21,6 @@ that recompute — mathematically identical to the jnp path's gradients
 
 from __future__ import annotations
 
-import functools
-import math
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,12 +17,10 @@ measures, overlapped with the backward pass by XLA's scheduler.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ptx.core import rng
 from ptx.core.constants import DEFAULT_RAY_DEPTH

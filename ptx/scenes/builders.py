@@ -11,7 +11,6 @@ live here too.
 from __future__ import annotations
 
 import math
-import os
 
 import numpy as np
 

@@ -40,7 +40,6 @@ first, matching Matrix.concat composition semantics, transform.h:391-406).
 from __future__ import annotations
 
 import json
-import math
 import os
 
 import numpy as np
