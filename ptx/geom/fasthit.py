@@ -51,25 +51,43 @@ from ptx.geom import tape
 _PAD_T = jnp.float32(3e20)
 
 
+def collect_leaves(plan):
+    """Flatten the tape to (leaf, difference-parity) pairs, ordered by CSG
+    nesting depth, deepest first.
+
+    The order is the *coincident-boundary tie-break*: when two leaves share
+    a boundary at exactly the same ``t`` (the reference demo unions a
+    diffuse sphere with an identically-placed emissive core inside its
+    glass bulb, test.cpp:131-132), the payload must come from the leaf the
+    reference's nested two-stream merges would surface — its inner unions
+    coalesce payloads bottom-up, so the deepest leaf's boundary wins the
+    outer merges (union.cpp:117-132 keeps the composite span's payload on
+    equal ends).  Depth-descending order makes every argmin/first-wins
+    selection below reproduce that."""
+    leaves = []
+
+    def walk(node, parity, depth):
+        if isinstance(node, tape._LeafPlan):
+            leaves.append((node, parity, depth))
+        elif node.op == "difference":
+            walk(node.children[0], parity, depth + 1)
+            walk(node.children[1], -parity, depth + 1)
+        else:
+            for c in node.children:
+                walk(c, parity, depth + 1)
+
+    walk(plan, 1.0, 0)
+    leaves.sort(key=lambda t: -t[2])
+    return [(lf, p) for lf, p, _d in leaves]
+
+
 def compile_fast_hit(plan, params_ref=None):
     """Compile a tape plan (from tape.compile_geometry) into
     ``hit_fn(params, origin, dir) -> first-hit dict`` (same contract as
     ptx.integrate.trace.first_hit)."""
 
     # ---- flatten leaves with difference-B parity -------------------------
-    leaves = []            # (_LeafPlan, parity_sign)
-
-    def walk(node, parity):
-        if isinstance(node, tape._LeafPlan):
-            leaves.append((node, parity))
-        elif node.op == "difference":
-            walk(node.children[0], parity)
-            walk(node.children[1], -parity)
-        else:
-            for c in node.children:
-                walk(c, parity)
-
-    walk(plan, 1.0)
+    leaves = collect_leaves(plan)
     L = len(leaves)
     parity = jnp.asarray(np.array([p for _, p in leaves], np.float32))
     mat_ids = jnp.asarray(np.array([lf.mat_id for lf, _ in leaves], np.int32))

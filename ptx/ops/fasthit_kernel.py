@@ -37,20 +37,11 @@ _TILE = _TILE_ROWS * 128
 
 
 def _collect_leaves(plan):
-    leaves = []
-
-    def walk(node, parity):
-        if isinstance(node, tape._LeafPlan):
-            leaves.append((node, parity))
-        elif node.op == "difference":
-            walk(node.children[0], parity)
-            walk(node.children[1], -parity)
-        else:
-            for c in node.children:
-                walk(c, parity)
-
-    walk(plan, 1.0)
-    return leaves
+    # depth-descending order = the coincident-boundary tie-break (see
+    # ptx.geom.fasthit.collect_leaves); the kernel's strict `<` running
+    # argmin keeps the first-processed candidate on ties
+    from ptx.geom.fasthit import collect_leaves
+    return collect_leaves(plan)
 
 
 def _pack_params(leaves, params):
