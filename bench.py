@@ -49,7 +49,8 @@ def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=2,
     key = jax.random.PRNGKey(0)
     rows = height // 8            # ~64k-ray chunks: best measured occupancy
 
-    def chunk_loss(params, key, y0):
+    def chunk_loss(params, key, y0, i):
+        key = prng.fold(key, i)        # fold inside jit: no host dispatch
         ys = y0 + jnp.arange(rows)
         o, d = sample_rays(cam, key, ys, jnp.arange(width), spp_chunk)
         radiance = trace_rays(scene, params, o, d, key, depth,
@@ -60,26 +61,25 @@ def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=2,
     fwd_fn = jax.jit(chunk_loss)
 
     # warmup / compile
-    loss, grads = grad_fn(scene.params, key, jnp.int32(0))
+    loss, grads = grad_fn(scene.params, key, jnp.int32(0), jnp.int32(0))
     jax.block_until_ready(grads)
-    jax.block_until_ready(fwd_fn(scene.params, key, jnp.int32(0)))
+    jax.block_until_ready(fwd_fn(scene.params, key, jnp.int32(0),
+                                 jnp.int32(0)))
 
     n_bands = height // rows
     chunks_timed = min(n_bands * (spp // spp_chunk), 8 * iters)
 
     t0 = time.perf_counter()
     for i in range(chunks_timed):
-        k = prng.fold(key, i)
         y0 = jnp.int32((i % n_bands) * rows)
-        loss, grads = grad_fn(scene.params, k, y0)
+        loss, grads = grad_fn(scene.params, key, y0, jnp.int32(i))
     jax.block_until_ready(grads)
     dt_grad = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(chunks_timed):
-        k = prng.fold(key, 1000 + i)
         y0 = jnp.int32((i % n_bands) * rows)
-        out = fwd_fn(scene.params, k, y0)
+        out = fwd_fn(scene.params, key, y0, jnp.int32(1000 + i))
     jax.block_until_ready(out)
     dt_fwd = time.perf_counter() - t0
 
