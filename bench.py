@@ -38,6 +38,14 @@ REF_HOST_RAYS_PER_SEC = 0.587e6
 def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=2,
               iters=3):
     import jax
+
+    # persistent compile cache: repeat runs skip the ~10 min XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/ptx-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from ptx.core import rng as prng
     from ptx.integrate.camera import Camera, sample_rays
