@@ -87,6 +87,26 @@ def cmd_render(args):
     from ptx.parallel.checkpoint import RenderAccumulator
 
     scene, cam, spp, depth = _build_scene(args)
+
+    if args.adaptive:
+        from ptx.integrate.adaptive import render_adaptive
+        key = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        spp_base = max(2, spp // 2)
+        final, counts = render_adaptive(
+            scene, cam, key, spp_base=spp_base, rounds=4, frac=0.125,
+            spp_refine=max(4, spp // 2), depth=depth)
+        final = np.asarray(final)
+        stamp = f"{int(time.time()):08X}"
+        out_base = args.out or f"image{stamp}"
+        bmp_io.write(out_base + ".bmp", final)
+        hdr_io.write(out_base + ".hdr", final)
+        counts = np.asarray(counts)
+        print(f"wrote {out_base}.bmp/.hdr  adaptive spp "
+              f"{counts.min():.0f}-{counts.max():.0f} "
+              f"(mean {counts.mean():.1f}) in {time.time()-t0:.1f}s")
+        return
+
     acc = RenderAccumulator(cam.height, cam.width, args.checkpoint)
     done_spp = acc.samples_done if args.checkpoint else 0
     if done_spp >= spp:
@@ -211,6 +231,9 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--preview", action="store_true",
                     help="live terminal preview")
+    sp.add_argument("--adaptive", action="store_true",
+                    help="variance-guided adaptive sampling (the "
+                         "reference's subdivision sampler, TPU-style)")
     sp.add_argument("--checkpoint", help="sample-sum checkpoint (.npz)")
     sp.add_argument("--spp-chunk", type=int, default=4)
     sp.add_argument("--rays-per-chunk", type=int, default=2 ** 21)
