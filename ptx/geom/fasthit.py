@@ -52,33 +52,37 @@ _PAD_T = jnp.float32(3e20)
 
 
 def collect_leaves(plan):
-    """Flatten the tape to (leaf, difference-parity) pairs, ordered by CSG
-    nesting depth, deepest first.
+    """Flatten the tape to (leaf, difference-parity) pairs, in REVERSED
+    depth-first walk order.
 
     The order is the *coincident-boundary tie-break*: when two leaves share
     a boundary at exactly the same ``t`` (the reference demo unions a
     diffuse sphere with an identically-placed emissive core inside its
     glass bulb, test.cpp:131-132), the payload must come from the leaf the
-    reference's nested two-stream merges would surface — its inner unions
-    coalesce payloads bottom-up, so the deepest leaf's boundary wins the
-    outer merges (union.cpp:117-132 keeps the composite span's payload on
-    equal ends).  Depth-descending order makes every argmin/first-wins
-    selection below reproduce that."""
+    reference's nested two-stream merges would surface.  Tracing
+    ``UnionSpanIterator::next`` (union.cpp:105-133) on identical spans:
+    neither strict comparison fires, ``nextA()`` exhausts the first
+    operand, and the SECOND operand's span is emitted — so the later
+    operand wins union ties, recursively.  Reversing the walk order makes
+    every argmin/first-wins selection below reproduce that (validated
+    against the live reference binary — BASELINE.md 'Golden parity').
+    Intersections of *identical* solids tie the other way in the
+    reference; that degenerate authoring case is not reproduced."""
     leaves = []
 
-    def walk(node, parity, depth):
+    def walk(node, parity):
         if isinstance(node, tape._LeafPlan):
-            leaves.append((node, parity, depth))
+            leaves.append((node, parity))
         elif node.op == "difference":
-            walk(node.children[0], parity, depth + 1)
-            walk(node.children[1], -parity, depth + 1)
+            walk(node.children[0], parity)
+            walk(node.children[1], -parity)
         else:
             for c in node.children:
-                walk(c, parity, depth + 1)
+                walk(c, parity)
 
-    walk(plan, 1.0, 0)
-    leaves.sort(key=lambda t: -t[2])
-    return [(lf, p) for lf, p, _d in leaves]
+    walk(plan, 1.0)
+    leaves.reverse()
+    return leaves
 
 
 def compile_fast_hit(plan, params_ref=None):

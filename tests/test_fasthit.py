@@ -101,3 +101,36 @@ def test_fast_hit_sky_enclosure_never_misses():
     o = jnp.zeros((128, 3))
     h = jax.jit(scene.hit_fn)(scene.params, o, d)
     assert np.asarray(h["hit"]).all()     # closed sky box: every ray hits
+
+
+def test_coincident_boundary_payload_prefers_deeper_leaf():
+    """Regression for the reference demo's glass bulb: a sphere unioned
+    with an identically-placed sphere nested deeper in the CSG tree must
+    surface the DEEPER leaf's material at the shared boundary (the
+    reference's nested merges coalesce payloads bottom-up; BASELINE.md
+    'Golden parity')."""
+    from ptx.ops.fasthit_kernel import build_hit_kernel
+
+    shallow = Material(reflect=0.8, scatter=1.0)            # mat id 0
+    deep = Material(reflect=0.0, scatter=0.0, emissive=2.0)  # nested
+    world = Union(
+        Sphere((0.0, 0.0, -4.0), 0.5, shallow),
+        Union(Plane((0.0, 0.0, -1.0), 100.0, shallow),
+              Sphere((0.0, 0.0, -4.0), 0.5, deep)),
+    )
+    scene = compile_scene(world, pallas=False)
+    o = jnp.zeros((4, 3))
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 4, jnp.float32)
+    deep_id = None
+    # find deep material's table id by probing the material slots
+    from ptx.shade.materials import assign_material_ids
+    _, ids = assign_material_ids(world)
+    deep_id = ids[id(deep)]
+
+    h = jax.jit(scene.hit_fn)(scene.params, o, d)
+    assert bool(np.asarray(h["hit"]).all())
+    assert (np.asarray(h["mat_id"]) == deep_id).all()
+
+    pk = build_hit_kernel(scene.plan)
+    h2 = pk(scene.params, o, d)
+    assert (np.asarray(h2["mat_id"]) == deep_id).all()
