@@ -234,3 +234,42 @@ def test_glass_expectation_matches_oracle():
     want = orc.trace_ray(theirs, np.zeros(3), d_single, 8, rng)
     tol = 5.0 * sem_mine + 5e-3
     assert np.all(np.abs(mean_mine - want) < tol), (mean_mine, want, tol)
+
+
+def test_total_internal_reflection_deterministic():
+    """From inside glass at a glancing angle, refract_strength is 0 ⇒ the
+    transmit branch is never taken and the path is a deterministic mirror
+    chain (path-trace.h:110-121 with refractStrength=0) — compare exactly
+    against the oracle."""
+    glass = Material(reflect=(0.9, 0.8, 0.7), scatter=0.0, transmit=0.9,
+                     ior=2.4, transmit_reflect=1.0)
+    glass_o = orc.OMaterial(reflect=(0.9, 0.8, 0.7), scatter=0.0,
+                            transmit=(0.9, 0.9, 0.9), ior=2.4,
+                            transmit_reflect=1.0)
+    colors = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (0, 1, 1), (1, 0, 1)]
+    sky_mine = [Plane(np.asarray(n, np.float32), 200.0,
+                      Material(reflect=0.0, scatter=0.0, emissive=c))
+                for n, c in zip(SKY_N, colors)]
+    sky_theirs = [orc.OPlane(n, 200.0,
+                             orc.OMaterial(reflect=0.0, scatter=0.0,
+                                           emissive=c))
+                  for n, c in zip(SKY_N, colors)]
+    # ray starts INSIDE the sphere, hits the surface at a glancing angle:
+    # sin(theta) > 1/2.4 ⇒ TIR at the exit boundary
+    center = np.array([0.0, 0.0, -4.0])
+    mine = Union(Sphere(center.astype(np.float32), 1.5, glass), *sky_mine)
+    theirs = orc.OUnion(orc.OSphere(center, 1.5, glass_o), *sky_theirs)
+    scene = compile_scene(mine)
+
+    o = np.tile(center + np.array([1.2, 0.0, 0.0]), (8, 1)).astype(np.float32)
+    d = np.tile(np.array([0.05, 1.0, 0.1]) / np.linalg.norm([0.05, 1.0, 0.1]),
+                (8, 1)).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda p, o, d: trace_rays(scene, p, o, d, jax.random.PRNGKey(2),
+                                   depth=8))(scene.params, jnp.asarray(o),
+                                             jnp.asarray(d)))
+    rng = np.random.default_rng(0)
+    want = orc.trace_ray(theirs, o[0].astype(float), d[0].astype(float),
+                         8, rng)
+    for i in range(8):
+        np.testing.assert_allclose(got[i], want, rtol=5e-3, atol=5e-3)
