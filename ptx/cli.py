@@ -127,7 +127,9 @@ def cmd_render(args):
                                y0, nrows, cur, depth)
             acc.add(np.asarray(img), cur, y0)
             y0 += nrows
-            done = (s - done_spp) * cam.height + y0
+            # row-sample units on both sides: each chunk covers cur samples
+            # for every row it renders
+            done = (s - done_spp) * cam.height + y0 * cur
             total = (spp - done_spp) * cam.height
             if args.preview:
                 _terminal_preview(acc.image())
@@ -154,23 +156,22 @@ def cmd_serve(args):
     import numpy as np
     import jax
 
-    from ptx.core import rng as prng
-    from ptx.integrate.camera import Camera
-    from ptx.integrate.render import _render_rows
+    from ptx.integrate.render import _render_tile
     from ptx.runtime import RenderFarmServer
 
     scene, cam, _, _ = _build_scene(args)
 
     def render_fn(x0, y0, w, h, spp, depth, seed):
-        # farm tiles are full-width row bands of the global camera; partial
-        # x-tiles are cropped from a full-width render of those rows
+        # render exactly the requested tile of the global camera — no
+        # full-width band + crop (each tile traces only its own pixels)
         k = jax.random.PRNGKey(seed & 0x7FFFFFFF)
-        img = _render_rows(scene, scene.params, cam, k,
-                           int(y0), int(h), int(spp), int(depth))
-        return np.asarray(img)[:, x0:x0 + w]
+        img = _render_tile(scene, scene.params, cam, k, int(x0), int(y0),
+                           int(w), int(h), int(spp), int(depth))
+        return np.asarray(img)
 
-    srv = RenderFarmServer(render_fn, port=args.port,
-                           max_inflight=args.max_inflight)
+    srv = RenderFarmServer(render_fn, port=args.port, bind=args.bind,
+                           max_inflight=args.max_inflight,
+                           chunk_rows=args.chunk_rows)
     print(f"ptx render-farm server on :{srv.port} "
           f"(scene={args.scene or args.demo or 'demo'})")
     try:
@@ -189,14 +190,22 @@ def cmd_farm(args):
     scene, cam, spp, depth = _build_scene(args)
     with RenderFarmClient(args.addresses, default_port=args.port) as cli:
         t0 = time.time()
+        state = {"tiles": 0, "total_tiles": 0}
 
         def progress(done, total):
-            sys.stdout.write(f"\r[{done}/{total} tiles] {time.time()-t0:.1f}s")
+            state["tiles"], state["total_tiles"] = done, total
+
+        def row_progress(rows, total_rows):
+            # live intra-tile progress from streamed row bands
+            sys.stdout.write(
+                f"\r[{state['tiles']}/{state['total_tiles']} tiles, "
+                f"{rows}/{total_rows} rows] {time.time()-t0:.1f}s")
             sys.stdout.flush()
 
         img = cli.render_image(cam.width, cam.height, tile=args.tile,
                                spp=spp, depth=depth, seed=args.seed,
-                               parallel=args.parallel, progress=progress)
+                               parallel=args.parallel, progress=progress,
+                               row_progress=row_progress)
     print()
     stamp = f"{int(time.time()):08X}"
     out_base = args.out or f"image{stamp}"
@@ -211,6 +220,11 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    if os.environ.get("PTX_CPU") == "1":
+        # force the CPU backend (this container's sitecustomize overrides
+        # the JAX_PLATFORMS env var, so the config call is required)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(prog="ptx",
                                 description="TPU-native CSG path tracer")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -242,7 +256,14 @@ def main(argv=None):
     sp = sub.add_parser("serve", help="render-farm worker (TCP)")
     common(sp)
     sp.add_argument("--port", type=int, default=12346)
+    sp.add_argument("--bind", default="127.0.0.1",
+                    help="listen address (default loopback; pass 0.0.0.0 "
+                         "explicitly for farm deployments — the tile "
+                         "protocol is unauthenticated)")
     sp.add_argument("--max-inflight", type=int, default=0)
+    sp.add_argument("--chunk-rows", type=int, default=16,
+                    help="stream tiles incrementally in row bands of this "
+                         "many rows (0 = send each tile whole)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("farm", help="farm tiles to servers")

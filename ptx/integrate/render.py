@@ -23,14 +23,25 @@ from ptx.integrate.camera import Camera, sample_rays
 from ptx.integrate.trace import CompiledScene, trace_rays
 
 
-@partial(jax.jit, static_argnames=("scene", "cam", "rows", "spp", "depth"))
-def _render_rows(scene: CompiledScene, params, cam: Camera, key,
-                 y0, rows: int, spp: int, depth: int):
+@partial(jax.jit, static_argnames=("scene", "cam", "rows", "cols", "spp",
+                                   "depth"))
+def _render_tile(scene: CompiledScene, params, cam: Camera, key,
+                 x0, y0, cols: int, rows: int, spp: int, depth: int):
+    """Render exactly the requested (x0, y0, cols, rows) pixel rectangle of
+    the global camera — farm tiles trace only their own pixels (the
+    reference's RenderBlock covers an arbitrary block the same way,
+    test.cpp:325-341)."""
     ys = y0 + jnp.arange(rows)
-    xs = jnp.arange(cam.width)
+    xs = x0 + jnp.arange(cols)
     o, d = sample_rays(cam, key, ys, xs, spp)
     radiance = trace_rays(scene, params, o, d, key, depth)
-    return jnp.mean(radiance, axis=0)          # (rows, W, 3)
+    return jnp.mean(radiance, axis=0)          # (rows, cols, 3)
+
+
+def _render_rows(scene: CompiledScene, params, cam: Camera, key,
+                 y0, rows: int, spp: int, depth: int):
+    return _render_tile(scene, params, cam, key, 0, y0, cam.width, rows,
+                        spp, depth)
 
 
 def render(scene: CompiledScene, cam: Camera, key, spp: int = 16,
@@ -58,17 +69,6 @@ def render(scene: CompiledScene, cam: Camera, key, spp: int = 16,
     return jnp.concatenate(out, axis=0)
 
 
-# hashability for jit static args -----------------------------------------
-# CompiledScene and Camera participate in jit cache keys by identity /
-# value respectively; Camera is a frozen dataclass (hashable unless pose is
-# an array — poses are passed as tuples), CompiledScene by object identity.
-def _scene_hash(self):
-    return id(self)
-
-
-def _scene_eq(self, other):
-    return self is other
-
-
-CompiledScene.__hash__ = _scene_hash
-CompiledScene.__eq__ = _scene_eq
+# CompiledScene participates in jit cache keys by identity (dataclass
+# eq=False in trace.py); Camera by value (frozen dataclass, poses passed as
+# tuples so it stays hashable).

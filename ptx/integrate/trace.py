@@ -57,7 +57,7 @@ from ptx.shade import textures as tx
 SCATTER_TRIES = 32
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class CompiledScene:
     """A scene lowered to arrays + pure functions.
 
@@ -68,6 +68,9 @@ class CompiledScene:
     single-sort direct first-hit, ptx.geom.fasthit) and ``spans_fn`` +
     :func:`first_hit` (the span-merge reference path, kept for span-level
     consumers and as a cross-check oracle).
+
+    ``eq=False`` keeps identity ``__eq__``/``__hash__`` so instances can be
+    jit static args (render/adaptive pass the scene statically).
     """
     params: dict
     spans_fn: Callable          # (params, origin, dir) -> SpanList

@@ -27,11 +27,20 @@ _LIB_PATH = os.path.join(_DIR, "libptxrt.so")
 _lib = None
 _lib_lock = threading.Lock()
 
+# emit(ctx, y_off, nrows, data) -> 0 ok / nonzero client-gone
+EMIT_FN = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+    ctypes.POINTER(ctypes.c_float))
+
 RENDER_CB = ctypes.CFUNCTYPE(
     ctypes.c_int,
     ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
     ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
-    ctypes.POINTER(ctypes.c_float), ctypes.c_void_p)
+    EMIT_FN, ctypes.c_void_p, ctypes.c_void_p)
+
+# progress(ctx, rows_done, rows_total)
+PROGRESS_FN = ctypes.CFUNCTYPE(
+    None, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32)
 
 TASK_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
 
@@ -84,13 +93,13 @@ def load_library():
         lib.ptx_client_create.restype = ctypes.c_void_p
         lib.ptx_client_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.ptx_client_render_tile.restype = ctypes.c_int
         lib.ptx_client_render_tile.argtypes = [
             ctypes.c_void_p,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_float)]
+            ctypes.POINTER(ctypes.c_float), PROGRESS_FN, ctypes.c_void_p]
         lib.ptx_client_destroy.argtypes = [ctypes.c_void_p]
 
         _lib = lib
@@ -184,23 +193,44 @@ class WorkPool:
 class RenderFarmServer:
     """Serves tile render requests over TCP (reference ``--server`` mode,
     test.cpp:722-778).  ``render_fn(x0, y0, w, h, spp, depth, seed)`` must
-    return a float32 (h, w, 3) array — typically a jitted TPU render."""
+    return a float32 (h, w, 3) array — typically a jitted TPU render.
 
-    def __init__(self, render_fn, port: int = 12346, bind: str = "",
-                 threads: int = 0, max_inflight: int = 0):
+    ``chunk_rows > 0`` streams the tile incrementally: ``render_fn`` is
+    called once per row band of at most ``chunk_rows`` rows and each band
+    is sent as soon as it finishes — the reference's 1 Hz partial-pixel
+    flush (test.cpp:375-391,709-714), at row-band granularity.  A watching
+    client sees progress *inside* tiles and a tile that dies mid-render has
+    already delivered its finished rows to the wire (the client still
+    re-requests the whole tile: stateless retry)."""
+
+    def __init__(self, render_fn, port: int = 12346, bind: str = "127.0.0.1",
+                 threads: int = 0, max_inflight: int = 0,
+                 chunk_rows: int = 0):
+        # default bind is loopback: the tile protocol is unauthenticated and
+        # the request geometry is peer-controlled, so exposing it must be an
+        # explicit choice (bind="0.0.0.0" / "")
         lib = load_library()
         if lib is None:
             raise RuntimeError("native runtime unavailable")
         self._lib = lib
 
-        def cb(x0, y0, w, h, spp, depth, seed, out_ptr, _user):
+        def cb(x0, y0, w, h, spp, depth, seed, emit, emit_ctx, _user):
             try:
-                img = np.ascontiguousarray(
-                    render_fn(x0, y0, w, h, spp, depth, seed), np.float32)
-                if img.shape != (h, w, 3):
-                    return 2
-                ctypes.memmove(out_ptr, img.ctypes.data,
-                               img.nbytes)
+                step = h if chunk_rows <= 0 else max(1, chunk_rows)
+                off = 0
+                while off < h:
+                    n = min(step, h - off)
+                    img = np.ascontiguousarray(
+                        render_fn(x0, y0 + off, w, n, spp, depth, seed),
+                        np.float32)
+                    if img.shape != (n, w, 3):
+                        return 2
+                    rc = emit(emit_ctx, off, n,
+                              img.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_float)))
+                    if rc != 0:
+                        return 3          # client gone: abort the tile
+                    off += n
                 return 0
             except Exception:
                 return 1
@@ -232,7 +262,8 @@ class RenderFarmClient:
     test.cpp:520-676): server rotation, stateless retry with backoff."""
 
     def __init__(self, addresses, default_port: int = 12346,
-                 retry_ms: int = 1000, max_attempts: int = 0):
+                 retry_ms: int = 1000, max_attempts: int = 0,
+                 io_timeout_ms: int = 0):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native runtime unavailable")
@@ -245,24 +276,38 @@ class RenderFarmClient:
         arr_h = (ctypes.c_char_p * len(hosts))(*hosts)
         arr_p = (ctypes.c_int * len(ports))(*ports)
         self._cli = lib.ptx_client_create(arr_h, arr_p, len(hosts),
-                                          retry_ms, max_attempts)
+                                          retry_ms, max_attempts,
+                                          io_timeout_ms)
 
-    def render_tile(self, x0, y0, w, h, spp, depth, seed) -> np.ndarray:
+    def render_tile(self, x0, y0, w, h, spp, depth, seed,
+                    progress=None) -> np.ndarray:
+        """Render one tile; ``progress(rows_done, rows_total)`` observes the
+        incremental row stream while the server renders."""
         out = np.empty((h, w, 3), np.float32)
+        if progress is not None:
+            pcb = PROGRESS_FN(lambda _ctx, rows, total: progress(rows, total))
+        else:
+            pcb = ctypes.cast(None, PROGRESS_FN)
         rc = self._lib.ptx_client_render_tile(
             self._cli, x0, y0, w, h, spp, depth, seed,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pcb, None)
         if rc != 0:
             raise OSError("tile render failed after max attempts")
         return out
 
     def render_image(self, width, height, tile: int = 64, spp: int = 16,
                      depth: int = 16, seed: int = 0,
-                     parallel: int = 8, progress=None) -> np.ndarray:
+                     parallel: int = 8, progress=None,
+                     row_progress=None) -> np.ndarray:
         """Assemble a full frame from farmed tiles using a local thread
         fan-out (one in-flight request per thread, like the reference's
-        one-comm-thread-per-block, test.cpp:523-537)."""
+        one-comm-thread-per-block, test.cpp:523-537).
+
+        ``progress(tiles_done, tiles_total)`` fires per completed tile;
+        ``row_progress(rows_done, rows_total)`` additionally fires as row
+        bands stream in from in-progress tiles (whole-frame row counts)."""
         import concurrent.futures as cf
+        import threading as th
 
         img = np.zeros((height, width, 3), np.float32)
         jobs = []
@@ -270,10 +315,29 @@ class RenderFarmClient:
             for x0 in range(0, width, tile):
                 jobs.append((x0, y0, min(tile, width - x0),
                              min(tile, height - y0)))
+        total_rows = sum(h for _, _, _, h in jobs)
         done = 0
+        rows_acc = {"n": 0}
+        lock = th.Lock()
+
+        def tile_progress_fn(h):
+            # a retried tile re-streams from row 0: the delta vs this tile's
+            # previous contribution keeps the frame-wide count exact
+            last = {"r": 0}
+
+            def fn(rows, _total):
+                with lock:
+                    rows_acc["n"] += rows - last["r"]
+                    last["r"] = rows
+                    n = rows_acc["n"]
+                row_progress(n, total_rows)
+            return fn
+
         with cf.ThreadPoolExecutor(parallel) as ex:
             futs = {ex.submit(self.render_tile, x0, y0, w, h, spp, depth,
-                              seed + (y0 << 20) + x0): (x0, y0, w, h)
+                              seed + (y0 << 20) + x0,
+                              tile_progress_fn(h) if row_progress else None):
+                    (x0, y0, w, h)
                     for x0, y0, w, h in jobs}
             for fut in cf.as_completed(futs):
                 x0, y0, w, h = futs[fut]

@@ -7,13 +7,44 @@ import jax
 import pytest
 
 from ptx.integrate.camera import Camera
-from ptx.integrate.render import _render_rows
+from ptx.integrate.render import _render_tile
 from ptx.runtime import RenderFarmClient, RenderFarmServer, runtime_available
 from ptx.integrate.trace import compile_scene
 from ptx.scenes.builders import baseline_config1
 
 pytestmark = pytest.mark.skipif(not runtime_available(),
                                 reason="native toolchain unavailable")
+
+
+def test_tile_render_traces_only_its_pixels(monkeypatch):
+    """The serve path must trace exactly tile-pixels × spp rays (the round-1
+    implementation rendered full-width bands and cropped — width/tile ×
+    wasted work)."""
+    import ptx.integrate.render as rmod
+
+    scene = compile_scene(baseline_config1())
+    cam = Camera(64, 16)
+    counted = []
+    captured = []
+
+    def counting_trace(scene_, params, o, d, key, depth, **kw):
+        counted.append(int(np.prod(o.shape[:-1])))
+        captured.append(d)
+        return jax.numpy.zeros(o.shape)    # radiance unused by this test
+
+    monkeypatch.setattr(rmod, "trace_rays", counting_trace)
+    k = jax.random.PRNGKey(0)
+    img = rmod._render_tile.__wrapped__(scene, scene.params, cam, k,
+                                        48, 4, 8, 8, 2, 3)
+    assert img.shape == (8, 8, 3)
+    assert counted == [8 * 8 * 2]      # cols·rows·spp — not width·rows·spp
+
+    # rays point at the GLOBAL pixel rectangle (x0=48 plumbed through)
+    from ptx.integrate.camera import sample_rays
+    import jax.numpy as jnp
+    o_exp, d_exp = sample_rays(cam, k, 4 + jnp.arange(8), 48 + jnp.arange(8), 2)
+    np.testing.assert_allclose(np.asarray(captured[0]), np.asarray(d_exp),
+                               rtol=1e-6)
 
 
 @pytest.mark.slow
@@ -23,9 +54,9 @@ def test_farm_serves_real_renders():
 
     def render_fn(x0, y0, w, h, spp, depth, seed):
         k = jax.random.PRNGKey(seed & 0x7FFFFFFF)
-        img = _render_rows(scene, scene.params, cam, k,
-                           int(y0), int(h), int(spp), int(depth))
-        return np.asarray(img)[:, x0:x0 + w]
+        img = _render_tile(scene, scene.params, cam, k, int(x0), int(y0),
+                           int(w), int(h), int(spp), int(depth))
+        return np.asarray(img)
 
     with RenderFarmServer(render_fn, port=0, threads=2) as srv:
         with RenderFarmClient([f"127.0.0.1:{srv.port}"],

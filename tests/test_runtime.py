@@ -73,6 +73,55 @@ def test_render_farm_roundtrip():
     np.testing.assert_allclose(img, want)
 
 
+def test_render_farm_streams_partial_rows():
+    """chunk_rows streams the tile incrementally (the reference's 1 Hz
+    partial-pixel flush, test.cpp:375-391): the client's progress callback
+    observes row bands arriving before the tile completes, and the
+    assembled tile is exact."""
+    def render_fn(x0, y0, w, h, spp, depth, seed):
+        ys, xs = np.mgrid[y0:y0 + h, x0:x0 + w].astype(np.float32)
+        return np.stack([xs, ys, np.full_like(xs, seed)], axis=-1)
+
+    seen = []
+    with RenderFarmServer(render_fn, port=0, chunk_rows=3) as srv:
+        with RenderFarmClient([f"127.0.0.1:{srv.port}"],
+                              max_attempts=3) as cli:
+            tile = cli.render_tile(2, 5, 7, 11, 1, 1, 9,
+                                   progress=lambda r, t: seen.append((r, t)))
+    # 11 rows in bands of 3 → 4 progress events, monotonically complete
+    assert seen == [(3, 11), (6, 11), (9, 11), (11, 11)]
+    ys, xs = np.mgrid[5:16, 2:9].astype(np.float32)
+    want = np.stack([xs, ys, np.full_like(xs, 9)], axis=-1)
+    np.testing.assert_allclose(tile, want)
+
+
+def test_render_farm_admission_counts_queued_work():
+    """Connections waiting in the pool queue count against the admission
+    limit: with 1 worker and max_inflight=1, a second concurrent request is
+    rejected with the busy byte instead of queueing silently (the round-1
+    bug: `running` only counted requests already holding a worker)."""
+    import concurrent.futures as cf
+
+    gate = threading.Event()
+
+    def render_fn(x0, y0, w, h, spp, depth, seed):
+        gate.wait(10)
+        return np.zeros((h, w, 3), np.float32)
+
+    with RenderFarmServer(render_fn, port=0, threads=1,
+                          max_inflight=1) as srv:
+        addr = [f"127.0.0.1:{srv.port}"]
+        with RenderFarmClient(addr, retry_ms=50, max_attempts=2) as cli:
+            with cf.ThreadPoolExecutor(2) as ex:
+                slow = ex.submit(cli.render_tile, 0, 0, 4, 4, 1, 1, 0)
+                time.sleep(0.3)        # let the first request occupy the pool
+                fast = ex.submit(cli.render_tile, 0, 0, 4, 4, 1, 1, 1)
+                with pytest.raises(OSError):
+                    fast.result(timeout=10)   # busy-rejected, retries exhaust
+                gate.set()
+                assert slow.result(timeout=10).shape == (4, 4, 3)
+
+
 def test_render_farm_retry_fails_over_to_live_server():
     """A dead address in the server list is skipped (reference retries
     forever; we bound attempts for the test)."""
