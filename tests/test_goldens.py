@@ -1,8 +1,9 @@
-"""Golden-image regression: fixed-seed renders of the baseline scenes must
-stay statistically stable.  The comparison is tolerant to Monte-Carlo /
-compiler drift (per-pixel agreement at 32 spp) but catches semantic
-regressions (shading, CSG, camera, RNG-keying changes show up as gross
-shifts).  Regenerate deliberately with tests/make_goldens.py."""
+"""Golden-image regression: fixed-key renders of the baseline scenes are
+deterministic (counter-based RNG, static shapes, CPU backend), so the
+comparison is PIXELWISE at ~1e-5 — subtle shading regressions (a few
+percent on one material) fail instead of hiding inside a statistical
+tolerance.  Regenerate deliberately with tests/make_goldens.py on a
+deliberate semantic change."""
 
 import os
 
@@ -35,7 +36,6 @@ def test_golden(name):
     got = np.asarray(render(scene, cam, jax.random.PRNGKey(0),
                             spp=32, depth=6))
     assert got.shape == want.shape
-    # mean image agreement and per-pixel agreement within MC noise
-    assert abs(got.mean() - want.mean()) < 0.02 * max(want.mean(), 0.05)
-    diff = np.abs(got - want).mean()
-    assert diff < 0.06, f"golden drift: mean abs diff {diff:.4f}"
+    # exact-key determinism: pixelwise equality up to float reassociation
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                               err_msg="pixelwise golden drift")
