@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -48,7 +49,9 @@ from ptx.core.constants import MAX_VALUE
 
 # Sentinel t for masked/invalid slots and events: sorts after every real
 # boundary (real |t| <= MAX_VALUE = 1e20).
-_PAD_T = jnp.float32(3e20)
+# numpy scalar, not jnp: importing ptx must not initialize the XLA backend
+# (jax.distributed.initialize must run first in multi-process jobs)
+_PAD_T = np.float32(3e20)
 
 
 class SpanList(NamedTuple):

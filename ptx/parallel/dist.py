@@ -32,13 +32,29 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize multi-host JAX.  No-ops when single-process (local runs,
-    tests) or when already initialized."""
-    if num_processes in (None, 1) and "JAX_COORDINATOR" not in os.environ:
+    tests).
+
+    Configuration comes from the arguments or, for each one not given,
+    from the environment: ``JAX_COORDINATOR`` (host:port),
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID`` (see README "Multi-host").
+    Setting only *some* of the three is an error, not a silent no-op."""
+    env = os.environ.get
+    coordinator_address = coordinator_address or env("JAX_COORDINATOR")
+    if num_processes is None and env("JAX_NUM_PROCESSES"):
+        num_processes = int(env("JAX_NUM_PROCESSES"))
+    if process_id is None and env("JAX_PROCESS_ID"):
+        process_id = int(env("JAX_PROCESS_ID"))
+    given = (coordinator_address is not None, num_processes is not None,
+             process_id is not None)
+    if not any(given):
+        return                       # single-process run
+    if num_processes == 1:
         return
-    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR")
-    num_processes = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    process_id = process_id if process_id is not None else int(
-        os.environ.get("JAX_PROCESS_ID", "0"))
+    if not all(given):
+        raise ValueError(
+            "multi-process init needs all of coordinator_address, "
+            "num_processes, process_id (args or JAX_COORDINATOR / "
+            f"JAX_NUM_PROCESSES / JAX_PROCESS_ID); got {given}")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
