@@ -49,14 +49,22 @@ def abs_squared(v):
 
 
 def norm(v):
-    return jnp.sqrt(abs_squared(v))
+    # guarded sqrt: at v=0 the norm is returned as exact 0 with a zero
+    # (sub)gradient instead of sqrt'(0)=inf NaN-ing masked backward lanes
+    mag2 = abs_squared(v)
+    safe = jnp.sqrt(jnp.where(mag2 == 0.0, 1.0, mag2))
+    return jnp.where(mag2 == 0.0, 0.0, safe)
 
 
 def normalize(v):
     """Normalize; zero vectors pass through unchanged (reference
-    ``vector3d.h:115-120`` substitutes magnitude 1 for 0)."""
-    mag = norm(v)
-    safe = jnp.where(mag == 0.0, 1.0, mag)
+    ``vector3d.h:115-120`` substitutes magnitude 1 for 0).
+
+    Guarded BEFORE the sqrt: ``sqrt`` has infinite slope at 0, and a zero
+    cotangent times an infinite partial is NaN — masked lanes must stay
+    finite in reverse mode."""
+    mag2 = abs_squared(v)
+    safe = jnp.sqrt(jnp.where(mag2 == 0.0, 1.0, mag2))
     return v / safe[..., None]
 
 
@@ -104,7 +112,9 @@ def refract(d, relative_ior, n):
         & (abs_squared(d) > 0.0)
         & (arg >= 0.0)
     )
-    safe_arg = jnp.where(ok, arg, 0.0)
+    # guard value 1.0, not 0.0: sqrt'(0)=inf would NaN the masked lanes'
+    # backward (forward is unaffected — ~ok lanes return the zero vector)
+    safe_arg = jnp.where(ok, arg, 1.0)
     t = eta[..., None] * i - (eta * idn + jnp.sqrt(safe_arg))[..., None] * n_unit
     return jnp.where(ok[..., None], normalize(t), jnp.zeros_like(t))
 

@@ -78,6 +78,8 @@ class CompiledScene:
     n_materials: int
     plan: Any = None
     hit_fn: Callable = None     # (params, origin, dir) -> first-hit dict
+    hit_replay_fn: Callable = None   # (params, o, d, evt, entering, hit)
+    _manual_bounce: Callable = None  # cached custom-VJP bounce step
 
 
 def compile_scene(root, fast: bool = True,
@@ -107,17 +109,29 @@ def compile_scene(root, fast: bool = True,
             pallas = env == "1"
         else:
             pallas = jax.default_backend() == "tpu"
-    if fast and pallas:
+    # The Pallas megakernel unrolls 2L·L compares at build time — the right
+    # trade at demo scale, unusable (code size / compile time) at L≈100+.
+    # Large scenes route to the candidate-blocked jnp path instead
+    # (ptx.geom.fasthit module docstring).
+    from ptx.geom.fasthit import collect_leaves as _cl
+    n_leaves = len(_cl(plan))
+    kernel_max = int(os.environ.get("PTX_PALLAS_MAX_LEAVES", "24"))
+    if fast and pallas and n_leaves <= kernel_max:
         from ptx.ops.fasthit_kernel import build_hit_kernel
         hit_fn = build_hit_kernel(plan)
     elif fast:
         hit_fn = compile_fast_hit(plan)
     else:
         hit_fn = None
+    hit_replay_fn = None
+    if hit_fn is not None:
+        from ptx.geom import hitreplay
+        from ptx.geom.fasthit import collect_leaves
+        hit_replay_fn = hitreplay.build_hit_replay(collect_leaves(plan))
     return CompiledScene(params=params, spans_fn=spans_fn,
                          material_fn=material_fn,
                          n_materials=len(ordered_materials), plan=plan,
-                         hit_fn=hit_fn)
+                         hit_fn=hit_fn, hit_replay_fn=hit_replay_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -168,14 +182,16 @@ def first_hit(sl):
 # scatter direction sampling
 # ---------------------------------------------------------------------------
 
-def sample_scatter_dir(key, direction, normal, scatter_c):
+def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False):
     """Reference scatter sampling (path-trace.h:138-158): draw a uniform
     point in the unit ball, add ``(1/sc − 1)·reflected``, accept when the
     result leaves the surface (``dot(n, d) > EPS``), normalize.  For
     ``sc <= EPS`` the perfect mirror direction is used directly.
 
     Returns (dir, ok): ``ok`` False for abandoned paths (reference's
-    1000-try bailout).
+    1000-try bailout).  ``return_raw`` appends the selected raw uniform
+    draw (..., 3) — the manual bounce VJP saves it so the backward replay
+    skips the whole rejection scan (ptx.integrate.trace._bounce_replay).
     """
     reflected = linalg.reflect(direction, normal)
     sc = jnp.clip(scatter_c, 0.0, 1.0)
@@ -199,6 +215,10 @@ def sample_scatter_dir(key, direction, normal, scatter_c):
 
     out = jnp.where(specular[..., None], reflected, linalg.normalize(chosen))
     ok = specular | accepted
+    if return_raw:
+        u_raw = jnp.take_along_axis(u, first[..., None, None],
+                                    axis=-2)[..., 0, :]
+        return out, ok, u_raw
     return out, ok
 
 
@@ -206,93 +226,260 @@ def sample_scatter_dir(key, direction, normal, scatter_c):
 # bounce scan
 # ---------------------------------------------------------------------------
 
+def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
+                 alive, radiance, k, in_depth):
+    """One wavefront bounce, live mode: draws RNG, evaluates the first hit
+    (Pallas kernel on TPU), makes the stochastic/discrete decisions.
+
+    Returns ``(new_carry, decisions)``; decisions are everything the
+    backward replay needs that is either random (branch coin, selected
+    scatter draw) or expensive to recompute (the winning hit event) — all
+    stop-gradient by construction.
+    """
+    batch_shape = o.shape[:-1]
+
+    if scene.hit_fn is not None:
+        hit = scene.hit_fn(params, o, d)
+    else:
+        hit = first_hit(scene.spans_fn(params, o, d))
+    live_hit = alive & hit["hit"]
+
+    pos = o + hit["t"][..., None] * d
+    m = scene.material_fn(params, pos, hit["mat_id"])
+
+    radiance = radiance + jnp.where(
+        live_hit[..., None], throughput * m["emissive"], 0.0)
+
+    # Continuation gate: depth remaining and strength above threshold
+    # (path-trace.h:105).  The final scan step (in_depth False) is the
+    # emission-only evaluation.
+    cont = live_hit & in_depth & (strength >= EPS)
+
+    normal = hit["normal"]
+    rel_ior = jnp.where(hit["entering"], 1.0 / m["ior"], m["ior"])
+
+    trc = jnp.clip(m["transmit_reflect_f"], 0.0, 1.0)
+    refract_factor = trc * linalg.refract_strength(d, rel_ior, normal)
+    refr_dir = linalg.refract(d, rel_ior, normal)
+    refr_ok = (refract_factor > EPS) & jnp.any(refr_dir != 0.0, axis=-1)
+    p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
+
+    u = jax.random.uniform(rng.fold(k, 1), batch_shape)
+    take_transmit = jax.lax.stop_gradient(u < p_transmit) & cont
+    add_factor = 1.0 - p_transmit
+    # reference: if addFactor < eps the scatter branch is skipped
+    # (path-trace.h:122-125)
+    scatter_alive = cont & ~take_transmit & (add_factor >= EPS)
+
+    # --- transmit branch ---
+    transmit_tint = m["transmit"]
+    # --- scatter branch ---
+    scat_dir, scat_ok, u_sel = sample_scatter_dir(
+        rng.fold(k, 2), d, normal, m["scatter_f"], return_raw=True)
+    sc = jnp.clip(m["scatter_f"], 0.0, 1.0)
+    factor = 1.0 - (1.0 - linalg.dot(scat_dir, normal)) * sc
+    scatter_alive = scatter_alive & scat_ok
+
+    new_alive = take_transmit | scatter_alive
+    new_dir = jnp.where(take_transmit[..., None], refr_dir, scat_dir)
+    branch_tint = jnp.where(take_transmit[..., None], transmit_tint,
+                            factor[..., None] * m["reflect"])
+    new_throughput = throughput * branch_tint
+
+    # Reference strength bookkeeping (path-trace.h:118,162) — the
+    # termination heuristic, deliberately NOT importance-compensated.  It
+    # is consumed ONLY by comparisons (the cont gate), so its gradient
+    # contribution is identically zero: stop_gradient both documents that
+    # and prunes the whole chain from the backward graph.
+    tr_strength = strength * refract_factor * linalg.norm(transmit_tint)
+    sc_strength = (strength * add_factor * factor
+                   * linalg.norm(m["reflect"]))
+    new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
+
+    o2 = jnp.where(new_alive[..., None], pos, o)
+    d2 = jnp.where(new_alive[..., None], new_dir, d)
+    throughput2 = jnp.where(new_alive[..., None], new_throughput, throughput)
+    strength2 = jax.lax.stop_gradient(
+        jnp.where(new_alive, new_strength, strength))
+
+    sg = jax.lax.stop_gradient
+    decisions = {
+        "evt": sg(hit["_evt"]) if "_evt" in hit else None,
+        "hit": sg(hit["hit"]),
+        "entering": sg(hit["entering"]),
+        "mat_id": sg(hit["mat_id"]),
+        "take_transmit": sg(take_transmit),
+        "scatter_alive": sg(scatter_alive),
+        "u_sel": sg(u_sel),
+    }
+    return (o2, d2, throughput2, strength2, new_alive, radiance), decisions
+
+
+def _bounce_replay(scene: CompiledScene, params, o, d, throughput, strength,
+                   alive, dec):
+    """Differentiable bounce replay: identical math to :func:`_bounce_live`
+    with every stochastic draw and discrete selection taken from ``dec``.
+    The first hit collapses to the O(1) selected-boundary recompute
+    (ptx.geom.hitreplay) — no 2L·L candidate fold in the backward graph.
+
+    Returns ``(o2, d2, throughput2, strength2, radiance_add)``; the caller
+    pulls cotangents through this with ``jax.vjp``.
+    """
+    t, normal = scene.hit_replay_fn(params, o, d, dec["evt"],
+                                    dec["entering"], dec["hit"])
+    live_hit = alive & dec["hit"]
+
+    pos = o + t[..., None] * d
+    m = scene.material_fn(params, pos, dec["mat_id"])
+
+    radiance_add = jnp.where(live_hit[..., None],
+                             throughput * m["emissive"], 0.0)
+
+    rel_ior = jnp.where(dec["entering"], 1.0 / m["ior"], m["ior"])
+    trc = jnp.clip(m["transmit_reflect_f"], 0.0, 1.0)
+    refract_factor = trc * linalg.refract_strength(d, rel_ior, normal)
+    refr_dir = linalg.refract(d, rel_ior, normal)
+    refr_ok = (refract_factor > EPS) & jnp.any(refr_dir != 0.0, axis=-1)
+    p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
+    take_transmit = dec["take_transmit"]
+    add_factor = 1.0 - p_transmit
+
+    transmit_tint = m["transmit"]
+    # scatter direction from the SAVED accepted draw — no 32-candidate
+    # rejection scan in the backward graph (see sample_scatter_dir)
+    reflected = linalg.reflect(d, normal)
+    sc = jnp.clip(m["scatter_f"], 0.0, 1.0)
+    specular = sc <= EPS
+    safe_sc = jnp.where(specular, 1.0, sc)
+    bias = (1.0 / safe_sc - 1.0)[..., None] * reflected
+    scat_dir = jnp.where(specular[..., None], reflected,
+                         linalg.normalize(dec["u_sel"] + bias))
+    factor = 1.0 - (1.0 - linalg.dot(scat_dir, normal)) * sc
+    scatter_alive = dec["scatter_alive"]
+
+    new_alive = take_transmit | scatter_alive
+    new_dir = jnp.where(take_transmit[..., None], refr_dir, scat_dir)
+    branch_tint = jnp.where(take_transmit[..., None], transmit_tint,
+                            factor[..., None] * m["reflect"])
+    new_throughput = throughput * branch_tint
+
+    # strength is comparison-only (see _bounce_live): zero true gradient
+    tr_strength = strength * refract_factor * linalg.norm(transmit_tint)
+    sc_strength = (strength * add_factor * factor
+                   * linalg.norm(m["reflect"]))
+    new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
+
+    o2 = jnp.where(new_alive[..., None], pos, o)
+    d2 = jnp.where(new_alive[..., None], new_dir, d)
+    throughput2 = jnp.where(new_alive[..., None], new_throughput, throughput)
+    strength2 = jax.lax.stop_gradient(
+        jnp.where(new_alive, new_strength, strength))
+    return o2, d2, throughput2, strength2, radiance_add
+
+
+def _float0_zeros(x):
+    import numpy as np
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+def _make_manual_bounce(scene: CompiledScene):
+    """Custom-VJP bounce step: forward = live bounce (Pallas hit kernel),
+    backward = jax.vjp of the decision-frozen replay.  Residuals per bounce
+    shrink to (carry, ~7 decision lanes) and the reverse pass is a compact
+    fused elementwise graph — this is what closes the round-1 6.4×
+    forward↔backward gap (VERDICT #1)."""
+
+    @jax.custom_vjp
+    def bounce_step(params, o, d, throughput, strength, alive, radiance,
+                    k, in_depth):
+        out, _dec = _bounce_live(scene, params, o, d, throughput, strength,
+                                 alive, radiance, k, in_depth)
+        return out
+
+    def fwd(params, o, d, throughput, strength, alive, radiance, k,
+            in_depth):
+        out, dec = _bounce_live(scene, params, o, d, throughput, strength,
+                                alive, radiance, k, in_depth)
+        return out, (params, o, d, throughput, strength, alive, dec, k,
+                     in_depth)
+
+    def bwd(res, ct):
+        params, o, d, throughput, strength, alive, dec, k, in_depth = res
+        ct_o, ct_d, ct_thr, ct_stg, _ct_alive, ct_rad = ct
+
+        def rep(params, o, d, throughput, strength):
+            return _bounce_replay(scene, params, o, d, throughput, strength,
+                                  alive, dec)
+
+        _, vjp = jax.vjp(rep, params, o, d, throughput, strength)
+        dparams, do, dd, dthr, dstg = vjp(
+            (ct_o, ct_d, ct_thr, ct_stg, ct_rad))
+        # radiance2 = radiance + radiance_add ⇒ identity cotangent
+        return (dparams, do, dd, dthr, dstg, _float0_zeros(alive), ct_rad,
+                _float0_zeros(k), _float0_zeros(in_depth))
+
+    bounce_step.defvjp(fwd, bwd)
+    return bounce_step
+
+
 def trace_rays(scene: CompiledScene, params, origin, direction, key,
-               depth: int = DEFAULT_RAY_DEPTH, remat: bool = True):
+               depth: int = DEFAULT_RAY_DEPTH, remat: bool = True,
+               manual_vjp: bool | None = None):
     """Trace a wavefront of rays to radiance estimates ``(..., 3)``.
 
     ``origin``/``direction`` have shape ``(..., 3)``; one stochastic path
     is followed per ray for up to ``depth`` bounces (+ the primary hit).
-    ``remat`` rematerializes each bounce in reverse-mode (O(1) residual
-    memory per bounce); turn off when chunk sizes leave headroom and the
-    backward pass dominates.
+
+    Reverse mode: by default each bounce is a hand-written custom VJP
+    (decision-frozen replay, see :func:`_make_manual_bounce`) whenever the
+    scene has a fast hit path.  ``manual_vjp=False`` forces plain autodiff
+    (the round-1 path, kept as a cross-check oracle —
+    tests/test_gradients.py); there ``remat`` rematerializes each bounce
+    (O(1) residual memory; turn off when chunks leave headroom).
     """
     batch_shape = origin.shape[:-1]
+    # Flatten the wavefront to (B, 3): multi-axis batches (spp, rows, W)
+    # compile to markedly worse TPU code than the equivalent flat batch
+    # (measured 3× forward at identical ray counts — tools/bwd_bench.py),
+    # and RNG draws are bit-identical either way (threefry counter mode
+    # depends only on element count).
+    if len(batch_shape) != 1:
+        origin = origin.reshape(-1, 3)
+        direction = direction.reshape(-1, 3)
+    if manual_vjp is None:
+        manual_vjp = scene.hit_fn is not None and scene.hit_replay_fn is not None
 
-    def bounce(carry, bounce_idx):
-        o, d, throughput, strength, alive, radiance = carry
-        k = rng.fold(key, bounce_idx)
+    if manual_vjp:
+        if scene._manual_bounce is None:
+            scene._manual_bounce = _make_manual_bounce(scene)
+        bounce_step = scene._manual_bounce
 
-        if scene.hit_fn is not None:
-            hit = scene.hit_fn(params, o, d)
-        else:
-            hit = first_hit(scene.spans_fn(params, o, d))
-        live_hit = alive & hit["hit"]
+        def bounce(carry, bounce_idx):
+            o, d, throughput, strength, alive, radiance = carry
+            k = rng.fold(key, bounce_idx)
+            out = bounce_step(params, o, d, throughput, strength, alive,
+                              radiance, k, bounce_idx < depth)
+            return out, None
+    else:
+        def bounce(carry, bounce_idx):
+            o, d, throughput, strength, alive, radiance = carry
+            k = rng.fold(key, bounce_idx)
+            out, _dec = _bounce_live(scene, params, o, d, throughput,
+                                     strength, alive, radiance, k,
+                                     bounce_idx < depth)
+            return out, None
+        if remat:
+            bounce = jax.checkpoint(bounce)  # O(1) residuals/bounce
 
-        pos = o + hit["t"][..., None] * d
-        m = scene.material_fn(params, pos, hit["mat_id"])
-
-        radiance = radiance + jnp.where(
-            live_hit[..., None], throughput * m["emissive"], 0.0)
-
-        # Continuation gate: depth remaining and strength above threshold
-        # (path-trace.h:105).  bounce_idx == depth is the final,
-        # emission-only evaluation.
-        cont = live_hit & (bounce_idx < depth) & (strength >= EPS)
-
-        normal = hit["normal"]
-        rel_ior = jnp.where(hit["entering"], 1.0 / m["ior"], m["ior"])
-
-        trc = jnp.clip(m["transmit_reflect_f"], 0.0, 1.0)
-        refract_factor = trc * linalg.refract_strength(d, rel_ior, normal)
-        refr_dir = linalg.refract(d, rel_ior, normal)
-        refr_ok = (refract_factor > EPS) & jnp.any(refr_dir != 0.0, axis=-1)
-        p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
-
-        u = jax.random.uniform(rng.fold(k, 1), batch_shape)
-        take_transmit = jax.lax.stop_gradient(u < p_transmit) & cont
-        add_factor = 1.0 - p_transmit
-        # reference: if addFactor < eps the scatter branch is skipped
-        # (path-trace.h:122-125)
-        scatter_alive = cont & ~take_transmit & (add_factor >= EPS)
-
-        # --- transmit branch ---
-        transmit_tint = m["transmit"]
-        # --- scatter branch ---
-        scat_dir, scat_ok = sample_scatter_dir(
-            rng.fold(k, 2), d, normal, m["scatter_f"])
-        sc = jnp.clip(m["scatter_f"], 0.0, 1.0)
-        factor = 1.0 - (1.0 - linalg.dot(scat_dir, normal)) * sc
-        scatter_alive = scatter_alive & scat_ok
-
-        new_alive = take_transmit | scatter_alive
-        new_dir = jnp.where(take_transmit[..., None], refr_dir, scat_dir)
-        branch_tint = jnp.where(take_transmit[..., None], transmit_tint,
-                                factor[..., None] * m["reflect"])
-        new_throughput = throughput * branch_tint
-
-        # Reference strength bookkeeping (path-trace.h:118,162) — the
-        # termination heuristic, deliberately NOT importance-compensated.
-        tr_strength = strength * refract_factor * linalg.norm(transmit_tint)
-        sc_strength = (strength * add_factor * factor
-                       * linalg.norm(m["reflect"]))
-        new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
-
-        o = jnp.where(new_alive[..., None], pos, o)
-        d = jnp.where(new_alive[..., None], new_dir, d)
-        throughput = jnp.where(new_alive[..., None], new_throughput, throughput)
-        strength = jnp.where(new_alive, new_strength, strength)
-        return (o, d, throughput, strength, new_alive, radiance), None
-
+    flat_shape = origin.shape[:-1]
     init = (
         origin,
         direction,
-        jnp.ones(batch_shape + (3,), jnp.float32),
-        jnp.ones(batch_shape, jnp.float32),
-        jnp.ones(batch_shape, bool),
-        jnp.zeros(batch_shape + (3,), jnp.float32),
+        jnp.ones(flat_shape + (3,), jnp.float32),
+        jnp.ones(flat_shape, jnp.float32),
+        jnp.ones(flat_shape, bool),
+        jnp.zeros(flat_shape + (3,), jnp.float32),
     )
-    if remat:
-        bounce = jax.checkpoint(bounce)   # O(1) residuals/bounce in reverse
     (_, _, _, _, _, radiance), _ = jax.lax.scan(
         bounce, init, jnp.arange(depth + 1))
-    return radiance
+    return radiance.reshape(batch_shape + (3,))

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptx.core import linalg
 from ptx.core.constants import EPS, MAX_VALUE
-from ptx.geom import tape
+from ptx.geom import hitreplay, tape
 
 _PAD_T = 3e20
 # 32×128 ray tiles measured fastest (amortizes per-tile setup; VMEM live
@@ -294,99 +294,8 @@ def build_hit_kernel(plan):
         return [o.reshape(n) for o in outs]
 
     # ---- differentiable selected-leaf recompute (for the VJP) ----------
-    # Per-lane gather of the selected leaf's packed parameter row, then ONE
-    # dual-formula (sphere|plane) evaluation — O(1) leaf work per lane
-    # instead of re-walking all L leaves.  Row layout (R = 26):
-    #   sphere: [cx cy cz r  0        W(12) N(9)]
-    #   plane:  [nx ny nz d  inv_mag  W(12) N(9)]
-    # W = world→object affine (identity when untransformed), N = A^{-T}.
-    _ROW = 26
-    _is_sphere_np = np.array([lf.kind == "sphere" for lf, _ in leaves])
-
-    def _leaf_rows(params):
-        eye_w = jnp.eye(3, 4).reshape(-1)
-        eye_n = jnp.eye(3).reshape(-1)
-        rows = []
-        for lf, _p in leaves:
-            if lf.kind == "sphere":
-                c = params["sphere_center"][lf.index]
-                r = params["sphere_radius"][lf.index]
-                head = jnp.concatenate([c, r[None], jnp.zeros((1,))])
-            else:
-                n = params["plane_normal"][lf.index]
-                d = params["plane_d"][lf.index]
-                inv_mag = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(n * n), 1e-30))
-                head = jnp.concatenate([n, d[None], inv_mag[None]])
-            if lf.xform_chain:
-                w = params["xform"][lf.xform_chain[0]]
-                for i in lf.xform_chain[1:]:
-                    w = linalg.compose(w, params["xform"][i])
-                w_inv = linalg.inverse(w)
-                tail = jnp.concatenate([w_inv.reshape(-1),
-                                        jnp.transpose(w_inv[:, :3]).reshape(-1)])
-            else:
-                tail = jnp.concatenate([eye_w, eye_n])
-            rows.append(jnp.concatenate([head, tail]))
-        return jnp.stack(rows)                       # (L, 26)
-
-    def recompute(params, ox, oy, oz, dx, dy, dz, best_i):
-        rows = _leaf_rows(params)
-        leaf_idx = jnp.where(best_i >= L, best_i - L, best_i)
-        is_start = best_i < L
-        row = rows[leaf_idx]                          # (B, 26) gather
-        sph = jnp.asarray(_is_sphere_np)[leaf_idx]
-
-        w = row[:, 5:17]
-        nrm = row[:, 17:26]
-        lox = w[:, 0] * ox + w[:, 1] * oy + w[:, 2] * oz + w[:, 3]
-        loy = w[:, 4] * ox + w[:, 5] * oy + w[:, 6] * oz + w[:, 7]
-        loz = w[:, 8] * ox + w[:, 9] * oy + w[:, 10] * oz + w[:, 11]
-        ldx = w[:, 0] * dx + w[:, 1] * dy + w[:, 2] * dz
-        ldy = w[:, 4] * dx + w[:, 5] * dy + w[:, 6] * dz
-        ldz = w[:, 8] * dx + w[:, 9] * dy + w[:, 10] * dz
-
-        # sphere formula
-        ocx, ocy, ocz = lox - row[:, 0], loy - row[:, 1], loz - row[:, 2]
-        r = row[:, 3]
-        a = ldx * ldx + ldy * ldy + ldz * ldz
-        b = ocx * ldx + ocy * ldy + ocz * ldz
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc_raw = b * b - a * cc
-        # guard: lanes whose selected leaf is a plane evaluate this branch
-        # on nonsense params; sqrt'(0)=inf would NaN the where-cotangent
-        disc = jnp.where(disc_raw > 1e-12, disc_raw, 1.0)
-        sq = jnp.sqrt(disc)
-        sa = jnp.where(a == 0.0, 1.0, a)
-        t_s = jnp.where(is_start, (-b - sq) / sa, (-b + sq) / sa)
-        inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
-        snx = (ocx + t_s * ldx) * inv_r
-        sny = (ocy + t_s * ldy) * inv_r
-        snz = (ocz + t_s * ldz) * inv_r
-
-        # plane formula
-        pn0, pn1, pn2, pd, pim = (row[:, 0], row[:, 1], row[:, 2],
-                                  row[:, 3], row[:, 4])
-        divisor = ldx * pn0 + ldy * pn1 + ldz * pn2
-        numer = -pd - (lox * pn0 + loy * pn1 + loz * pn2)
-        safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0, divisor)
-        t_p = numer / safe_div      # finite plane-crossing boundaries only
-        pnx, pny, pnz = pn0 * pim, pn1 * pim, pn2 * pim
-
-        t_sel = jnp.where(sph, t_s, t_p)
-        nx0 = jnp.where(sph, snx, pnx)
-        ny0 = jnp.where(sph, sny, pny)
-        nz0 = jnp.where(sph, snz, pnz)
-        # ±MAX sentinel boundaries carry no useful gradient; pin them
-        sentinel = jnp.abs(t_sel) >= MAX_VALUE
-        t_sel = jnp.where(sentinel, jax.lax.stop_gradient(t_sel), t_sel)
-
-        # push normal through A^{-T} and renormalize
-        wx = nrm[:, 0] * nx0 + nrm[:, 1] * ny0 + nrm[:, 2] * nz0
-        wy = nrm[:, 3] * nx0 + nrm[:, 4] * ny0 + nrm[:, 5] * nz0
-        wz = nrm[:, 6] * nx0 + nrm[:, 7] * ny0 + nrm[:, 8] * nz0
-        mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
-        inv = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
-        return t_sel, wx * inv, wy * inv, wz * inv
+    # shared with the full-bounce manual VJP: ptx.geom.hitreplay
+    replay = hitreplay.build_hit_replay(leaves, parity_np)
 
     @jax.custom_vjp
     def hit_core(params, origin, direction):
@@ -425,28 +334,9 @@ def build_hit_kernel(plan):
     def hit_bwd(res, ct):
         params, origin, direction, out = res
         # gradient flows through t and normal of the selected boundary
-        best_i = out["_evt"]
-        hit = out["hit"]
-        entering = out["entering"]
-
         def diff_part(params, origin, direction):
-            ox, oy, oz = (origin[..., i].reshape(-1) for i in range(3))
-            dx, dy, dz = (direction[..., i].reshape(-1) for i in range(3))
-            t, nx, ny, nz = recompute(params, ox, oy, oz, dx, dy, dz,
-                                      best_i.reshape(-1))
-            leaf_idx = jnp.where(best_i.reshape(-1) >= L,
-                                 best_i.reshape(-1) - L, best_i.reshape(-1))
-            par = jnp.asarray(parity_np)[leaf_idx]
-            sign = par * jnp.where(entering.reshape(-1), 1.0, -1.0)
-            shape = origin.shape[:-1]
-            hmask = hit.reshape(-1)
-            t = jnp.where(hmask, t, 0.0).reshape(shape)
-            normal = jnp.stack(
-                [jnp.where(hmask, nx * sign, 0.0),
-                 jnp.where(hmask, ny * sign, 0.0),
-                 jnp.where(hmask, nz * sign, 0.0)],
-                axis=-1).reshape(shape + (3,))
-            return t, normal
+            return replay(params, origin, direction, out["_evt"],
+                          out["entering"], out["hit"])
 
         _, vjp = jax.vjp(diff_part, params, origin, direction)
         dparams, dorigin, ddirection = vjp((ct["t"], ct["normal"]))

@@ -103,17 +103,22 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
     const_idx = {s: jnp.asarray(v) for s, v in const_idx.items()}
     iors = jnp.asarray(np.array([m.ior for m in materials_in_id_order], np.float32))
 
+    from ptx.ops.tableops import table_lookup
+
     def eval_fn(params, pos, mat_id):
         out = {}
         for s in SLOTS:
-            val = params["const"][const_idx[s][mat_id]]       # (..., 3)
+            # table_lookup: gather forward, MXU one-hot-matmul transpose —
+            # the plain gather's scatter-add backward dominated the whole
+            # backward pass (tools/bwd_ablate.py)
+            val = table_lookup(params["const"], const_idx[s][mat_id])
             for mi, fn in dynamic[s]:
                 dyn = fn(params, pos)
                 val = jnp.where((mat_id == mi)[..., None], dyn, val)
             out[s] = val
         out["scatter_f"] = jnp.mean(out["scatter"], axis=-1)
         out["transmit_reflect_f"] = jnp.mean(out["transmit_reflect"], axis=-1)
-        out["ior"] = params["ior"][mat_id]
+        out["ior"] = table_lookup(params["ior"], mat_id)
         return out
 
     return {"ior": iors}, eval_fn
