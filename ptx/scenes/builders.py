@@ -133,6 +133,36 @@ def make_world(sky_image=None):
     return union_array(objects)
 
 
+def stress_spheres(n: int, seed: int = 0):
+    """Arbitrary-scale stress scene: ``n`` spheres in a jittered grid over
+    a ground plane under an emissive sky — the ``unionArray`` big-scene
+    mechanism (/root/reference/src/test.cpp:52-64) at benchmarkable leaf
+    counts.  Total leaves = n + 7 (ground + 6 sky planes)."""
+    rng = np.random.default_rng(seed)
+    mats = [
+        Material(reflect=(0.8, 0.3, 0.3), scatter=1.0),
+        Material(reflect=(0.3, 0.8, 0.3), scatter=1.0),
+        Material(reflect=(0.9, 0.9, 0.9), scatter=0.05),       # mirror-ish
+        Material(reflect=(0.9, 0.8, 0.3), scatter=1.0,
+                 emissive=(0.4, 0.3, 0.1)),
+    ]
+    side = max(1, int(math.ceil(math.sqrt(n))))
+    spheres = []
+    for i in range(n):
+        gx, gz = i % side, i // side
+        x = (gx - (side - 1) / 2) * 1.2 + rng.uniform(-0.25, 0.25)
+        z = -3.0 - gz * 1.2 + rng.uniform(-0.25, 0.25)
+        r = rng.uniform(0.15, 0.45)
+        spheres.append(Sphere((x, -1.0 + r, z), r, mats[i % len(mats)]))
+    ground = Material(reflect=0.6, scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    return union_array([
+        *spheres,
+        Plane((0.0, 1.0, 0.0), 1.0, ground),
+        *sky_planes(sky),
+    ])
+
+
 def baseline_config1():
     """BASELINE config #1: single diffuse sphere + ground plane, constant
     sky — the minimum end-to-end slice."""
