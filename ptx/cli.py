@@ -107,11 +107,16 @@ def cmd_render(args):
               f"(mean {counts.mean():.1f}) in {time.time()-t0:.1f}s")
         return
 
+    from ptx.utils.profiling import Meter, log
+
     acc = RenderAccumulator(cam.height, cam.width, args.checkpoint)
     done_spp = acc.samples_done if args.checkpoint else 0
     if done_spp >= spp:
         print(f"checkpoint already has {done_spp}/{spp} spp")
     key = jax.random.PRNGKey(args.seed)
+    meter = Meter("render")
+    log("render_start", width=cam.width, height=cam.height, spp=spp,
+        depth=depth, resume_spp=done_spp)
 
     spp_step = max(1, min(spp, args.spp_chunk))
     rows = max(1, min(cam.height, args.rays_per_chunk // (cam.width * spp_step)))
@@ -126,6 +131,8 @@ def cmd_render(args):
             img = _render_rows(scene, scene.params, cam, k,
                                y0, nrows, cur, depth)
             acc.add(np.asarray(img), cur, y0)
+            meter.add(rays=nrows * cam.width * cur * (depth + 1),
+                      samples=nrows * cam.width * cur, tiles=1)
             y0 += nrows
             # row-sample units on both sides: each chunk covers cur samples
             # for every row it renders
@@ -149,6 +156,9 @@ def cmd_render(args):
     hdr_io.write(out_base + ".hdr", final)
     rays = cam.width * cam.height * (spp - done_spp) * (depth + 1)
     dt = time.time() - t0
+    meter.emit()
+    log("render_done", out=out_base, seconds=round(dt, 2),
+        rays_per_sec=round(rays / max(dt, 1e-9), 1))
     print(f"wrote {out_base}.bmp/.hdr  ({rays / max(dt, 1e-9):.3g} rays/s)")
 
 
@@ -161,13 +171,21 @@ def cmd_serve(args):
 
     scene, cam, _, _ = _build_scene(args)
 
+    from ptx.utils.profiling import log
+
     def render_fn(x0, y0, w, h, spp, depth, seed):
         # render exactly the requested tile of the global camera — no
         # full-width band + crop (each tile traces only its own pixels)
+        t0 = time.perf_counter()
         k = jax.random.PRNGKey(seed & 0x7FFFFFFF)
         img = _render_tile(scene, scene.params, cam, k, int(x0), int(y0),
                            int(w), int(h), int(spp), int(depth))
-        return np.asarray(img)
+        out = np.asarray(img)
+        # per-tile structured log — the reference's per-block server couts
+        # (test.cpp:704,718), machine-readable
+        log("tile_done", x0=int(x0), y0=int(y0), w=int(w), h=int(h),
+            spp=int(spp), seconds=round(time.perf_counter() - t0, 3))
+        return out
 
     srv = RenderFarmServer(render_fn, port=args.port, bind=args.bind,
                            max_inflight=args.max_inflight,

@@ -35,35 +35,59 @@ from ptx.integrate.camera import Camera, pixel_rays
 from ptx.integrate.trace import CompiledScene, trace_rays
 
 
-@partial(jax.jit, static_argnames=("scene", "cam", "spp", "depth"))
-def _base_pass(scene, params, cam: Camera, key, spp: int, depth: int):
-    ys = jnp.arange(cam.height)
-    xs = jnp.arange(cam.width)
-    py, px = jnp.meshgrid(ys.astype(jnp.float32), xs.astype(jnp.float32),
-                          indexing="ij")
-    shape = (spp, cam.height, cam.width)
+@partial(jax.jit, static_argnames=("scene", "cam", "rows", "spp", "depth"))
+def _base_rows(scene, params, cam: Camera, key, y0, rows: int, spp: int,
+               depth: int):
+    ys = (y0 + jnp.arange(rows)).astype(jnp.float32)
+    xs = jnp.arange(cam.width).astype(jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    shape = (spp, rows, cam.width)
     jitter = rng.sample_square(key, shape)
     o, d = pixel_rays(cam, jnp.broadcast_to(px, shape),
                       jnp.broadcast_to(py, shape), jitter)
-    radiance = trace_rays(scene, params, o, d, key, depth)   # (spp, H, W, 3)
-    s1 = jnp.sum(radiance, axis=0)
-    s2 = jnp.sum(radiance ** 2, axis=0)
+    radiance = trace_rays(scene, params, o, d, key, depth)  # (spp, rows, W, 3)
+    return jnp.sum(radiance, axis=0), jnp.sum(radiance ** 2, axis=0)
+
+
+def _base_pass(scene, params, cam: Camera, key, spp: int, depth: int,
+               rays_per_chunk: int = 2 ** 21):
+    """Dense base pass, chunked through row bands so full-resolution frames
+    (the reference's 1920×1080 default) never dispatch a frame×spp tensor
+    in one go (VERDICT round-1 weak #5)."""
+    rows_per_chunk = max(1, min(cam.height,
+                                rays_per_chunk // max(1, cam.width * spp)))
+    s1_parts, s2_parts = [], []
+    y0 = 0
+    while y0 < cam.height:
+        rows = min(rows_per_chunk, cam.height - y0)
+        k = rng.fold(key, y0)
+        s1p, s2p = _base_rows(scene, params, cam, k, y0, rows, spp, depth)
+        s1_parts.append(s1p)
+        s2_parts.append(s2p)
+        y0 += rows
+    s1 = jnp.concatenate(s1_parts, axis=0)
+    s2 = jnp.concatenate(s2_parts, axis=0)
     count = jnp.full((cam.height, cam.width), spp, jnp.float32)
     return s1, s2, count
 
 
-@partial(jax.jit, static_argnames=("scene", "cam", "k", "spp", "depth"))
-def _refine_round(scene, params, cam: Camera, key, s1, s2, count,
-                  k: int, spp: int, depth: int):
+@partial(jax.jit, static_argnames=("cam", "k"))
+def _rank_pixels(cam: Camera, s1, s2, count, k: int):
     # variance of the pixel-mean estimate: s²/n
     mean = s1 / count[..., None]
     var = jnp.maximum(s2 / count[..., None] - mean ** 2, 0.0)
     priority = jnp.sum(var, axis=-1) / count
     _, flat_idx = jax.lax.top_k(priority.reshape(-1), k)
+    return flat_idx
+
+
+@partial(jax.jit, static_argnames=("scene", "cam", "spp", "depth"))
+def _refine_chunk(scene, params, cam: Camera, key, s1, s2, count,
+                  flat_idx, spp: int, depth: int):
     py = (flat_idx // cam.width).astype(jnp.float32)
     px = (flat_idx % cam.width).astype(jnp.float32)
 
-    shape = (spp, k)
+    shape = (spp,) + flat_idx.shape
     jitter = rng.sample_square(key, shape)
     o, d = pixel_rays(cam, jnp.broadcast_to(px, shape),
                       jnp.broadcast_to(py, shape), jitter)
@@ -74,6 +98,25 @@ def _refine_round(scene, params, cam: Camera, key, s1, s2, count,
     s1 = s1.reshape(-1, 3).at[flat_idx].add(add1).reshape(s1.shape)
     s2 = s2.reshape(-1, 3).at[flat_idx].add(add2).reshape(s2.shape)
     count = count.reshape(-1).at[flat_idx].add(spp).reshape(count.shape)
+    return s1, s2, count
+
+
+def _refine_round(scene, params, cam: Camera, key, s1, s2, count,
+                  k: int, spp: int, depth: int,
+                  rays_per_chunk: int = 2 ** 21):
+    """One ranked refinement round, gather-chunked so k·spp rays never
+    exceed ``rays_per_chunk`` per dispatch (full-resolution frames rank
+    hundreds of thousands of pixels)."""
+    flat_idx = _rank_pixels(cam, s1, s2, count, k)
+    k_chunk = max(1, min(k, rays_per_chunk // max(1, spp)))
+    c0 = 0
+    while c0 < k:
+        cur = min(k_chunk, k - c0)
+        idx = flat_idx[c0:c0 + cur]
+        s1, s2, count = _refine_chunk(scene, params, cam,
+                                      rng.fold(key, c0), s1, s2, count,
+                                      idx, spp, depth)
+        c0 += cur
     return s1, s2, count
 
 

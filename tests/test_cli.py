@@ -11,7 +11,7 @@ from ptx import cli
 from ptx.io import bmp, hdr
 
 
-def test_render_demo_writes_outputs(tmp_path, monkeypatch):
+def test_render_demo_writes_outputs(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     cli.main(["render", "--demo", "config1", "--width", "16", "--height",
               "12", "--spp", "2", "--depth", "2", "--out",
@@ -21,6 +21,16 @@ def test_render_demo_writes_outputs(tmp_path, monkeypatch):
     img_hdr = hdr.read(tmp_path / "out.hdr")
     assert img_hdr.shape == (12, 16, 4)
     assert np.isfinite(img_hdr).all() and img_hdr[..., :3].mean() > 0.001
+
+    # structured observability: JSON-line events on stderr (SURVEY §5.5)
+    events = [json.loads(l) for l in capsys.readouterr().err.splitlines()
+              if l.startswith("{")]
+    names = [e["event"] for e in events]
+    assert "render_start" in names and "render_done" in names
+    done = next(e for e in events if e["event"] == "render_done")
+    assert done["rays_per_sec"] > 0
+    meter = next(e for e in events if e["event"] == "render")
+    assert meter["rays"] == 16 * 12 * 2 * 3      # W·H·spp·(depth+1)
 
 
 def test_render_checkpoint_resume(tmp_path, monkeypatch):
