@@ -1,18 +1,32 @@
-"""Golden parity harness: ptx vs the ACTUAL reference binary.
+"""Golden parity harness: ptx vs the ACTUAL reference binary, low noise.
 
-Builds the reference from source in SERVER_ONLY mode (no SDL), serves it
-on localhost, drives its ASCII block protocol, and compares block-level
-statistics against a ptx render of the identical scene + sky asset.
-Round-1 results are recorded in BASELINE.md ("Golden parity" section):
-sky ≤0.1%, bulb core ≤0.1% (0.7% median), lens area ~8% (reference noise).
+Builds the reference from source in SERVER_ONLY mode (no SDL) with three
+noise-removal patches (VERDICT round-1 missing #1):
 
-Usage (needs g++, libpng headers, ~15 min; writes nothing to the repo):
+- ``rayCount`` 10 → 100 (test.cpp:34) — the reference's own samples;
+- ``minimumColorDelta`` → 0 and ``maximumSampleSize`` → 1
+  (test.cpp:38,50) — adaptive bilinear interpolation OFF, so every
+  compared pixel was actually traced by the reference;
+
+then serves it on localhost, drives its ASCII block protocol (several
+blocks in parallel — the diffuse regions are slow: the 10000-child
+scatter fan-out, path-trace.h:130), renders the identical pixels with ptx
+at high spp (accumulated chunks), and compares PER-PIXEL.
+
+Pass criterion: median per-pixel relative error ≤ 3% on every block
+(combined MC error of ref@100spp-with-fanout and ptx@high-spp).
+Results belong in BASELINE.md ("Golden parity").
+
+Usage (needs g++, libpng headers; ~30-60 min dominated by the reference's
+diffuse blocks):
     python tools/parity_vs_reference.py [--workdir /tmp/refbuild]
 """
 
 from __future__ import annotations
 
 import argparse
+import concurrent.futures as cf
+import json
 import os
 import shutil
 import socket
@@ -26,9 +40,18 @@ import numpy as np
 
 REF = "/root/reference"
 
-BLOCKS = [  # (x, y): sky corner, sky gradient, glass bulb, lens area
-    (64, 64), (1600, 200), (1176, 486), (620, 430)]
-BLOCK = 108
+# (x, y, size): sky corner, sky gradient, glass bulb w/ emissive core,
+# lens region, diffuse-sphere regions (small: reference fan-out is slow),
+# ground/horizon
+BLOCKS = [
+    (64, 64, 64),
+    (1600, 200, 64),
+    (1176, 486, 64),
+    (620, 430, 32),
+    (560, 460, 32),
+    (900, 560, 32),
+    (300, 900, 48),
+]
 
 
 def build_reference(workdir: str) -> str:
@@ -45,6 +68,22 @@ def build_reference(workdir: str) -> str:
           .replace("int_p_NULL", "(int*)NULL")
           .replace("png_voidp_NULL", "(png_voidp)NULL"))
     open(pd, "w").write(s)
+
+    # low-noise patches (see module docstring)
+    tc = os.path.join(workdir, "src", "test.cpp")
+    s = open(tc).read()
+    pairs = [
+        ("const int rayCount = 10;", "const int rayCount = 100;"),
+        ("const float minimumColorDelta = 0.003;",
+         "const float minimumColorDelta = 0;"),
+        ("maximumSampleSize = ScreenHeight / (480 / 4);",
+         "maximumSampleSize = 1;"),
+    ]
+    for old, new in pairs:
+        assert old in s, f"reference source drifted: {old!r} not found"
+        s = s.replace(old, new)
+    open(tc, "w").write(s)
+
     out = os.path.join(workdir, "ref-server")
     subprocess.run(
         ["g++", "-O3", "-DSERVER_ONLY", "-Iinclude"]
@@ -63,7 +102,7 @@ def build_reference(workdir: str) -> str:
     return out
 
 
-def fetch_block(x, y, size, port=12346, timeout=1200):
+def fetch_block(x, y, size, port=12346, timeout=7200):
     buf = np.full((size + 1, size + 1, 3), np.nan, np.float32)
     deadline = time.time() + timeout
     while time.time() < deadline:
@@ -75,7 +114,7 @@ def fetch_block(x, y, size, port=12346, timeout=1200):
         f = s.makefile("rwb")
         if f.readline().strip() != b"1":
             s.close()
-            time.sleep(1)
+            time.sleep(2)
             continue
         f.write(f"{x} {y} {size}\n".encode())
         f.flush()
@@ -96,22 +135,13 @@ def fetch_block(x, y, size, port=12346, timeout=1200):
     return buf
 
 
-def cell_means(img, n=6):
-    h = img.shape[0] // n
-    out = np.full((n, n, 3), np.nan)
-    for i in range(n):
-        for j in range(n):
-            c = img[i * h:(i + 1) * h, j * h:(j + 1) * h]
-            m = np.isfinite(c[..., 0])
-            if m.any():
-                out[i, j] = np.nanmean(c[m], axis=0)
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/refbuild")
-    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--spp", type=int, default=768,
+                    help="total ptx samples per pixel (accumulated)")
+    ap.add_argument("--spp-chunk", type=int, default=16)
+    ap.add_argument("--threshold", type=float, default=0.03)
     args = ap.parse_args()
 
     build_reference(args.workdir)
@@ -121,8 +151,9 @@ def main():
     try:
         import jax
         import jax.numpy as jnp
+        from ptx.core import rng as prng
         from ptx.integrate.camera import Camera
-        from ptx.integrate.render import _render_rows
+        from ptx.integrate.render import _render_tile
         from ptx.integrate.trace import compile_scene
         from ptx.io import hdr
         from ptx.scenes.builders import make_world
@@ -131,21 +162,49 @@ def main():
                                     "Serpentine_Valley_3k.hdr"))
         scene = compile_scene(make_world(sky_image=sky))
         cam = Camera.reference_demo(1920, 1080)
+        key = jax.random.PRNGKey(3)
+
+        # reference blocks render in parallel while ptx renders on-chip
+        pool = cf.ThreadPoolExecutor(4)
+        futs = {pool.submit(fetch_block, x, y, sz): (x, y, sz)
+                for x, y, sz in BLOCKS}
+
+        ptx_blocks = {}
+        for x, y, sz in BLOCKS:
+            acc = None
+            chunks = max(1, args.spp // args.spp_chunk)
+            for i in range(chunks):
+                img = _render_tile(scene, scene.params, cam,
+                                   prng.fold(key, x, y, i),
+                                   jnp.int32(x), jnp.int32(y), sz, sz,
+                                   args.spp_chunk, 16)
+                acc = img if acc is None else acc + img
+            ptx_blocks[(x, y, sz)] = np.asarray(acc) / chunks
 
         worst = 0.0
-        for (x, y) in BLOCKS:
-            ref_blk = fetch_block(x, y, BLOCK)[:BLOCK, :BLOCK]
-            ptx_blk = np.asarray(_render_rows(
-                scene, scene.params, cam, jax.random.PRNGKey(3),
-                jnp.int32(y), BLOCK, args.spp, 16))[:, x:x + BLOCK]
-            rc, pc = cell_means(ref_blk), cell_means(ptx_blk)
-            rel = np.abs(pc - rc) / (np.abs(rc) + 1e-4)
-            med = float(np.nanmedian(rel))
+        results = []
+        for fut in cf.as_completed(futs):
+            x, y, sz = futs[fut]
+            ref_blk = fut.result()[:sz, :sz]
+            ptx_blk = ptx_blocks[(x, y, sz)]
+            valid = np.isfinite(ref_blk[..., 0])
+            rel = (np.abs(ptx_blk - ref_blk)
+                   / (np.abs(ref_blk) + 1e-3))[valid]
+            med = float(np.median(rel))
+            p90 = float(np.percentile(rel, 90))
             worst = max(worst, med)
-            print(f"block {x:4d},{y:4d}: ref {np.nanmean(rc):.4f} "
-                  f"ptx {np.nanmean(pc):.4f} median relerr {med:.3f}")
-        print(f"worst median relerr: {worst:.3f}")
-        return 0 if worst < 0.15 else 1
+            r = {"block": [x, y, sz], "traced_px": int(valid.sum()),
+                 "median_relerr": round(med, 4),
+                 "p90_relerr": round(p90, 4),
+                 "ref_mean": round(float(np.nanmean(ref_blk)), 4),
+                 "ptx_mean": round(float(ptx_blk.mean()), 4)}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        pool.shutdown()
+        print(json.dumps({"worst_median_relerr": round(worst, 4),
+                          "threshold": args.threshold,
+                          "pass": worst <= args.threshold}), flush=True)
+        return 0 if worst <= args.threshold else 1
     finally:
         srv.terminate()
         srv.wait()
