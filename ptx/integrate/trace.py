@@ -193,15 +193,30 @@ def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False):
     draw (..., 3) — the manual bounce VJP saves it so the backward replay
     skips the whole rejection scan (ptx.integrate.trace._bounce_replay).
     """
+    # one batched draw for every try: (..., T, 3) uniforms in [-1, 1]
+    u = jax.random.uniform(key, direction.shape[:-1] + (SCATTER_TRIES, 3),
+                           minval=-1.0, maxval=1.0)
+    return select_scatter_dir(u, direction, normal, scatter_c,
+                              return_raw=return_raw)
+
+
+def select_scatter_dir(u, direction, normal, scatter_c, return_raw=False):
+    """The selection half of the reference scatter sampler, driven by a
+    pre-drawn candidate array ``u`` (..., T, 3) of cube uniforms.
+
+    The reference consumes ONE cube-draw stream: its inner do-while
+    (vector3d.h:173-180) skips draws outside the unit ball, its outer
+    do-while (path-trace.h:145-157) skips in-ball draws that fail the
+    above-surface test — so its accepted sample is exactly the FIRST draw
+    satisfying (in-ball ∧ above), which is this argmax.  Validated
+    draw-for-draw against a scalar transcription on ReferenceLCG streams
+    in tests/test_rng.py."""
     reflected = linalg.reflect(direction, normal)
     sc = jnp.clip(scatter_c, 0.0, 1.0)
     specular = sc <= EPS
     safe_sc = jnp.where(specular, 1.0, sc)
     bias = (1.0 / safe_sc - 1.0)[..., None] * reflected
 
-    # one batched draw for every try: (..., T, 3) uniforms in [-1, 1]
-    u = jax.random.uniform(key, direction.shape[:-1] + (SCATTER_TRIES, 3),
-                           minval=-1.0, maxval=1.0)
     in_ball = jnp.sum(u * u, axis=-1) <= 1.0          # cube→ball rejection
     cand = u + bias[..., None, :]
     above = jnp.einsum("...i,...ti->...t", normal, cand) > EPS

@@ -41,14 +41,15 @@ import numpy as np
 REF = "/root/reference"
 
 # (x, y, size): sky corner, sky gradient, glass bulb w/ emissive core,
-# lens region, diffuse-sphere regions (small: reference fan-out is slow),
-# ground/horizon
+# diffuse sphere (projects to ~(420, 540) r≈108 px), lens (~(690, 540)),
+# shadowed background, ground/horizon.  Diffuse blocks are small: the
+# reference's 10000-child scatter fan-out makes them ~1 px/s/thread.
 BLOCKS = [
     (64, 64, 64),
     (1600, 200, 64),
     (1176, 486, 64),
-    (620, 430, 32),
-    (560, 460, 32),
+    (420, 524, 32),
+    (674, 524, 32),
     (900, 560, 32),
     (300, 900, 48),
 ]
@@ -181,30 +182,37 @@ def main():
                 acc = img if acc is None else acc + img
             ptx_blocks[(x, y, sz)] = np.asarray(acc) / chunks
 
+        all_pass = True
         worst = 0.0
-        results = []
         for fut in cf.as_completed(futs):
             x, y, sz = futs[fut]
             ref_blk = fut.result()[:sz, :sz]
             ptx_blk = ptx_blocks[(x, y, sz)]
             valid = np.isfinite(ref_blk[..., 0])
+            diff = np.abs(ptx_blk - ref_blk)[valid]
             rel = (np.abs(ptx_blk - ref_blk)
                    / (np.abs(ref_blk) + 1e-3))[valid]
             med = float(np.median(rel))
+            med_abs = float(np.median(diff))
             p90 = float(np.percentile(rel, 90))
-            worst = max(worst, med)
+            # pass: relative agreement where there is signal, OR absolute
+            # agreement below one 8-bit step (1/256 — the reference's own
+            # output medium, test.cpp:993-995) in near-black regions
+            ok = med <= args.threshold or med_abs <= 1.0 / 256.0
+            all_pass &= ok
+            worst = max(worst, med if not ok else 0.0)
             r = {"block": [x, y, sz], "traced_px": int(valid.sum()),
                  "median_relerr": round(med, 4),
+                 "median_abserr": round(med_abs, 5),
                  "p90_relerr": round(p90, 4),
                  "ref_mean": round(float(np.nanmean(ref_blk)), 4),
-                 "ptx_mean": round(float(ptx_blk.mean()), 4)}
-            results.append(r)
+                 "ptx_mean": round(float(ptx_blk.mean()), 4),
+                 "pass": bool(ok)}
             print(json.dumps(r), flush=True)
         pool.shutdown()
-        print(json.dumps({"worst_median_relerr": round(worst, 4),
-                          "threshold": args.threshold,
-                          "pass": worst <= args.threshold}), flush=True)
-        return 0 if worst <= args.threshold else 1
+        print(json.dumps({"threshold": args.threshold,
+                          "pass": bool(all_pass)}), flush=True)
+        return 0 if all_pass else 1
     finally:
         srv.terminate()
         srv.wait()
