@@ -46,14 +46,12 @@ from ptx.geom import tape
 from ptx.shade import materials as mats
 from ptx.shade import textures as tx
 
-# Tries for the scatter-direction rejection sampler.  The reference
-# resamples up to 1000 times and abandons the path beyond that
+# Tries for the batched-rejection scatter sampler
+# (sample_scatter_dir_rejection — the cross-check oracle; production uses
+# the exact zero-rejection cap sampler, sample_scatter_dir).  The
+# reference resamples up to 1000 times and abandons the path beyond that
 # (path-trace.h:144-152); joint cube∧hemisphere acceptance is ≥ ~0.27 per
-# try, so 32 tries leave a ≤5e-5 abandonment probability — the same
-# give-up semantics, reached sooner.  All tries draw from ONE batched
-# uniform call (no per-try transcendentals), then the first acceptable
-# candidate is selected — identical distribution to the reference's
-# sequential cube-rejection ball sampling (vector3d.h:163-185).
+# try, so 32 tries leave a ≤5e-5 abandonment probability.
 SCATTER_TRIES = 32
 
 
@@ -183,17 +181,87 @@ def first_hit(sl):
 # ---------------------------------------------------------------------------
 
 def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False):
-    """Reference scatter sampling (path-trace.h:138-158): draw a uniform
-    point in the unit ball, add ``(1/sc − 1)·reflected``, accept when the
-    result leaves the surface (``dot(n, d) > EPS``), normalize.  For
-    ``sc <= EPS`` the perfect mirror direction is used directly.
+    """Exact (zero-rejection) reference scatter sampling.
+
+    The reference draws uniform points in the unit ball, adds
+    ``bias = (1/sc − 1)·reflected``, and rejects until the result leaves
+    the surface (``dot(n, u + bias) > EPS``; path-trace.h:138-158,
+    vector3d.h:163-185).  The accepted ``u`` is therefore *uniform over
+    the ball cap* ``{|u| ≤ 1, n̂·u > c}`` with ``c = (EPS − n·bias)/|n|``
+    — which this sampler draws directly, with THREE uniforms per lane
+    instead of the rejection loop's ≈96 (tools/fwd_breakdown.py measured
+    the (B, 32, 3) candidate draws as the dominant forward cost):
+
+    - height ``z ∈ [c, 1]`` with density ∝ (1 − z²) (the disk area at
+      height z).  The CDF ``g(z) = z − z³/3`` inverts in closed form via
+      the trigonometric cubic root ``z = 2·cos(acos(−1.5·G)/3 − 2π/3)``;
+    - a uniform point on the radius-``√(1−z²)`` disk (angle + √radius);
+    - mapped through a branchless orthonormal frame around ``n̂``
+      (Duff et al. 2017, "Building an Orthonormal Basis, Revisited").
+
+    Distribution-identical to :func:`sample_scatter_dir_rejection`
+    (asserted statistically in tests/test_integrator.py); abandonment
+    (``ok`` False) now happens exactly when the cap is empty — the ideal
+    limit of the reference's 1000-try bailout.  For ``sc <= EPS`` the
+    perfect mirror direction is used directly.
+
+    ``return_raw`` appends the in-ball draw ``u`` (..., 3) — the manual
+    bounce VJP saves it so the backward replay reconstructs
+    ``normalize(u + bias)`` differentiably (:func:`_bounce_replay`).
+    """
+    reflected = linalg.reflect(direction, normal)
+    sc = jnp.clip(scatter_c, 0.0, 1.0)
+    specular = sc <= EPS
+    safe_sc = jnp.where(specular, 1.0, sc)
+    bias = (1.0 / safe_sc - 1.0)[..., None] * reflected
+
+    # acceptance threshold in the unit-normal frame (normals arrive unit
+    # from the hit paths; |n| guarded for dead lanes)
+    m2 = jnp.sum(normal * normal, axis=-1)
+    m = jnp.sqrt(jnp.where(m2 == 0.0, 1.0, m2))
+    nhat = normal / m[..., None]
+    c = (EPS - jnp.einsum("...i,...i->...", normal, bias)) / m
+    feasible = c < 1.0
+    cc = jnp.clip(c, -1.0, 1.0)
+
+    u3 = jax.random.uniform(key, direction.shape[:-1] + (3,))
+    g = lambda z: z - z * z * z * (1.0 / 3.0)
+    G = g(cc) + u3[..., 0] * (g(1.0) - g(cc))
+    arg = jnp.clip(-1.5 * G, -1.0, 1.0)
+    z = 2.0 * jnp.cos(jnp.arccos(arg) * (1.0 / 3.0) - 2.0 * jnp.pi / 3.0)
+    z = jnp.clip(z, cc, 1.0)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0) * u3[..., 1])
+    phi = (2.0 * jnp.pi) * u3[..., 2]
+    x, y = r * jnp.cos(phi), r * jnp.sin(phi)
+
+    nx, ny, nz = nhat[..., 0], nhat[..., 1], nhat[..., 2]
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    b = nx * ny * a
+    e1 = jnp.stack([1.0 + s * nx * nx * a, s * b, -s * nx], axis=-1)
+    e2 = jnp.stack([b, s + ny * ny * a, -ny], axis=-1)
+    u = jax.lax.stop_gradient(
+        x[..., None] * e1 + y[..., None] * e2 + z[..., None] * nhat)
+
+    out = jnp.where(specular[..., None], reflected,
+                    linalg.normalize(u + bias))
+    ok = specular | jax.lax.stop_gradient(feasible)
+    if return_raw:
+        return out, ok, u
+    return out, ok
+
+
+def sample_scatter_dir_rejection(key, direction, normal, scatter_c,
+                                 return_raw=False):
+    """The batched-rejection form of the scatter sampler (round-1
+    production; kept as the cross-check oracle for the exact sampler and
+    for the stream-matched LCG parity path): one (..., T, 3) cube draw,
+    first candidate satisfying (in-ball ∧ above-surface) wins — see
+    :func:`select_scatter_dir`.
 
     Returns (dir, ok): ``ok`` False for abandoned paths (reference's
-    1000-try bailout).  ``return_raw`` appends the selected raw uniform
-    draw (..., 3) — the manual bounce VJP saves it so the backward replay
-    skips the whole rejection scan (ptx.integrate.trace._bounce_replay).
+    1000-try bailout; ≤5e-5 here with T=32 — joint acceptance ≥ ~0.27).
     """
-    # one batched draw for every try: (..., T, 3) uniforms in [-1, 1]
     u = jax.random.uniform(key, direction.shape[:-1] + (SCATTER_TRIES, 3),
                            minval=-1.0, maxval=1.0)
     return select_scatter_dir(u, direction, normal, scatter_c,

@@ -273,3 +273,76 @@ def test_total_internal_reflection_deterministic():
                          8, rng)
     for i in range(8):
         np.testing.assert_allclose(got[i], want, rtol=5e-3, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# exact cap sampler vs rejection oracle
+# ---------------------------------------------------------------------------
+
+def test_exact_scatter_sampler_matches_rejection():
+    """The production zero-rejection cap sampler must draw from the SAME
+    distribution as the batched-rejection transcription of the reference's
+    loops (path-trace.h:138-158): compare first and second moments of the
+    accepted directions over 64k draws for a spread of surface geometries
+    and scatter coefficients, including near-specular bias regimes."""
+    from ptx.integrate.trace import (sample_scatter_dir,
+                                     sample_scatter_dir_rejection)
+
+    N = 65536
+    rng = np.random.default_rng(7)
+    cases = [
+        # (direction, normal, scatter_c)
+        ([0.0, 0.0, -1.0], [0.0, 0.0, 1.0], 1.0),       # fully diffuse
+        ([0.0, 0.0, -1.0], [0.0, 0.0, 1.0], 0.55),      # biased
+        ([0.6, -0.4, -0.69], [0.1, 0.2, 0.97], 0.85),   # oblique
+        ([0.6, -0.4, -0.69], [0.0, 0.0, -1.0], 0.7),    # down normal (frame)
+        ([1.0, 0.0, -0.05], [0.0, 0.0, 1.0], 0.95),     # grazing
+        ([0.0, 0.0, -1.0], [0.0, 0.0, 1.0], 0.12),      # strong bias, small cap
+    ]
+    exact_f = jax.jit(lambda k, d, n, s: sample_scatter_dir(k, d, n, s))
+    rej_f = jax.jit(
+        lambda k, d, n, s: sample_scatter_dir_rejection(k, d, n, s))
+    for i, (d, n, sc) in enumerate(cases):
+        d = jnp.broadcast_to(jnp.asarray(d, jnp.float32), (N, 3))
+        n = jnp.broadcast_to(
+            jnp.asarray(np.asarray(n) / np.linalg.norm(n), np.float32),
+            (N, 3))
+        s = jnp.full((N,), sc, jnp.float32)
+        ka = jax.random.PRNGKey(100 + i)
+        kb = jax.random.PRNGKey(200 + i)
+        da, oka = exact_f(ka, d, n, s)
+        db, okb = rej_f(kb, d, n, s)
+        da, oka = np.asarray(da), np.asarray(oka)
+        db, okb = np.asarray(db), np.asarray(okb)
+        # acceptance: exact sampler never abandons a feasible cap; the
+        # 32-try rejection oracle abandons up to (1-p_try)^32 (~0.5% in
+        # the small-cap down-normal case) — accepted draws stay unbiased
+        assert oka.all()
+        assert okb.mean() > 0.99
+        da, db = da[oka], db[okb]
+        # mean direction: MC std of each component ~ 1/sqrt(N) ≈ 0.004
+        np.testing.assert_allclose(da.mean(0), db.mean(0), atol=0.02,
+                                   err_msg=f"case {i} mean")
+        # second moments (3x3)
+        np.testing.assert_allclose(da.T @ da / len(da),
+                                   db.T @ db / len(db), atol=0.02,
+                                   err_msg=f"case {i} covariance")
+        # every accepted sample leaves the surface
+        assert (np.einsum("ij,ij->i", da, np.asarray(n)[: len(da)])
+                > 0).all()
+
+
+def test_exact_scatter_sampler_infeasible_cap_abandons():
+    """When no direction can leave the surface (the ball cap is empty),
+    both samplers abandon the path — the reference's 1000-try bailout
+    (path-trace.h:144-152) in its ideal limit."""
+    from ptx.integrate.trace import (sample_scatter_dir,
+                                     sample_scatter_dir_rejection)
+    # reflected points INTO the surface: bias drags every candidate below
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (64, 3))
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (64, 3))
+    s = jnp.full((64,), 0.4, jnp.float32)
+    _, oka = sample_scatter_dir(jax.random.PRNGKey(0), d, n, s)
+    _, okb = sample_scatter_dir_rejection(jax.random.PRNGKey(1), d, n, s)
+    assert not np.asarray(oka).any()
+    assert not np.asarray(okb).any()
