@@ -309,6 +309,20 @@ def select_scatter_dir(u, direction, normal, scatter_c, return_raw=False):
 # bounce scan
 # ---------------------------------------------------------------------------
 
+def _virtual_fanout(strength, add_factor, sc):
+    """The scatter-child count the reference would have spawned at this
+    hit: ``int(10000·strength·addFactor·sc)``, clamped to ≥ 1 (and to 1
+    for specular), path-trace.h:130-136.  The reference divides each
+    child's *strength* by this count, so after one full-diffuse bounce
+    from a camera ray (count ≈ 10⁴) children fall below the ``eps``
+    termination threshold and stop at their next hit.  The single-path
+    estimator must inherit that termination rule — without the division
+    ptx's diffuse chains keep bouncing and come out measurably brighter
+    (+15% median on the diffuse-sphere parity block, BASELINE.md)."""
+    vcount = jnp.floor(10000.0 * strength * add_factor * sc)
+    return jnp.where((sc <= EPS) | (vcount < 1.0), 1.0, vcount)
+
+
 def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
                  alive, radiance, k, in_depth):
     """One wavefront bounce, live mode: draws RNG, evaluates the first hit
@@ -375,8 +389,8 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     # contribution is identically zero: stop_gradient both documents that
     # and prunes the whole chain from the backward graph.
     tr_strength = strength * refract_factor * linalg.norm(transmit_tint)
-    sc_strength = (strength * add_factor * factor
-                   * linalg.norm(m["reflect"]))
+    sc_strength = (strength / _virtual_fanout(strength, add_factor, sc)
+                   * add_factor * factor * linalg.norm(m["reflect"]))
     new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
 
     o2 = jnp.where(new_alive[..., None], pos, o)
@@ -448,8 +462,8 @@ def _bounce_replay(scene: CompiledScene, params, o, d, throughput, strength,
 
     # strength is comparison-only (see _bounce_live): zero true gradient
     tr_strength = strength * refract_factor * linalg.norm(transmit_tint)
-    sc_strength = (strength * add_factor * factor
-                   * linalg.norm(m["reflect"]))
+    sc_strength = (strength / _virtual_fanout(strength, add_factor, sc)
+                   * add_factor * factor * linalg.norm(m["reflect"]))
     new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
 
     o2 = jnp.where(new_alive[..., None], pos, o)

@@ -7,10 +7,15 @@ reference's payload rules — in straight-line Python, sharing no code with
 ``ptx``.  Used to validate the vectorized wavefront integrator:
 deterministic paths exactly, stochastic paths in expectation.
 
-``scatter_cap`` bounds the reference's adaptive fan-out
-(``scatter_ray_count = int(10000·strength·addFactor·sc)``,
-path-trace.h:130): any cap preserves the estimator's expectation (the count
-is a pure variance knob), keeping oracle runtime sane.
+``scatter_cap`` bounds how many children are actually SPAWNED from the
+reference's adaptive fan-out (``scatter_ray_count =
+int(10000·strength·addFactor·sc)``, path-trace.h:130) to keep oracle
+runtime sane; spawning fewer iid children preserves the estimator's
+expectation.  The per-child *strength* divisor stays the UNCAPPED count
+(path-trace.h:162 ``strength / scatter_ray_count``): that division is the
+reference's termination rule — after one full-strength diffuse bounce each
+child drops below ``eps`` and stops at its next hit — and capping it would
+silently let oracle paths live longer than the reference's.
 """
 
 from __future__ import annotations
@@ -243,10 +248,10 @@ def trace_ray(world, o, d, depth, rng, strength=1.0, scatter_cap=10000):
     count = int(10000 * strength * add_factor * sc)
     if sc <= EPS or count == 0:
         count = 1
-    count = min(count, scatter_cap)
+    spawn = min(count, scatter_cap)
     reflect_tint = mat.reflect
     reflected = reflect(d, normal)
-    for _ in range(count):
+    for _ in range(spawn):
         rdir = reflected
         if sc > EPS:
             for _ in range(1000):
@@ -258,7 +263,7 @@ def trace_ray(world, o, d, depth, rng, strength=1.0, scatter_cap=10000):
                 return retval
             rdir = normalize(rdir)
         factor = 1.0 - (1.0 - float(np.dot(rdir, normal))) * sc
-        retval = retval + add_factor / count * factor * reflect_tint * trace_ray(
+        retval = retval + add_factor / spawn * factor * reflect_tint * trace_ray(
             world, pos, rdir, depth - 1, rng,
             strength / count * add_factor * factor * float(np.linalg.norm(reflect_tint)),
             scatter_cap)

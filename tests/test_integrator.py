@@ -201,6 +201,49 @@ def test_diffuse_expectation_matches_oracle():
 
 
 @pytest.mark.slow
+def test_fanout_strength_termination_matches_oracle():
+    """Diffuse sphere over a diffuse floor: after a full-strength diffuse
+    bounce the reference's child strength is divided by the ~10⁴ fan-out
+    count (path-trace.h:130,162), so children that then hit the floor STOP
+    there (emissive-only) instead of bouncing floor→sky.  Without that
+    division the single-path estimator keeps bouncing and reads ~15%
+    brighter (the round-2 diffuse-sphere parity failure).  A single convex
+    sphere can't see this — scattered rays never re-hit geometry — which
+    is exactly why the scene needs the floor."""
+    diffuse = Material(reflect=0.8, scatter=1.0)
+    diffuse_o = orc.OMaterial(reflect=0.8, scatter=1.0)
+    sky_mine, sky_theirs = _sky_pair((0.7, 0.8, 1.0))
+    floor = Plane(np.array([0.0, 1.0, 0.0], np.float32), 1.5, diffuse)
+    floor_o = orc.OPlane((0, 1, 0), 1.5, diffuse_o)
+    mine = Union(Sphere((0.0, 0.5, -4.0), 1.0, diffuse), floor, *sky_mine)
+    theirs = orc.OUnion(orc.OSphere((0, 0.5, -4), 1.0, diffuse_o), floor_o,
+                        *sky_theirs)
+    scene = compile_scene(mine)
+
+    # aim at the sphere's lower front so scattered rays often reach the floor
+    d_single = np.array([0.0, -0.12, -1.0])
+    S = 4096
+    o = jnp.zeros((S, 3))
+    d = jnp.tile(jnp.asarray(d_single, jnp.float32), (S, 1))
+    got = np.asarray(jax.jit(
+        lambda p, o, d: trace_rays(scene, p, o, d, jax.random.PRNGKey(9),
+                                   depth=5))(scene.params, o, d))
+    mean_mine = got.mean(axis=0)
+    sem_mine = got.std(axis=0) / np.sqrt(S)
+
+    rng = np.random.default_rng(13)
+    N = 60
+    samples = np.stack([
+        orc.trace_ray(theirs, np.zeros(3), d_single, 5, rng, scatter_cap=16)
+        for _ in range(N)])
+    mean_orc = samples.mean(axis=0)
+    sem_orc = samples.std(axis=0) / np.sqrt(N)
+    tol = 4.0 * np.sqrt(sem_mine ** 2 + sem_orc ** 2) + 2e-3
+    assert np.all(np.abs(mean_mine - mean_orc) < tol), (
+        mean_mine, mean_orc, tol)
+
+
+@pytest.mark.slow
 def test_glass_expectation_matches_oracle():
     """Glass sphere: my stochastic transmit/reflect selection vs the
     oracle's deterministic weighted sum of both branches."""

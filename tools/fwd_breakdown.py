@@ -15,17 +15,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(step, x0, iters=20):
-    import jax
+    """Dependent-dispatch chain ending in a bytes fetch — on this remote
+    backend block_until_ready is NOT a completion barrier (see
+    tools/roofline.py module docstring); only fetched bytes are."""
+    import numpy as np
     x = step(x0)
-    jax.block_until_ready(x)
+    np.asarray(x).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step(x)
-    jax.block_until_ready(x)
+    np.asarray(x).ravel()[:1]
     return (time.perf_counter() - t0) / iters
 
 
-def run(label, tries=None, const_material=False, hit_only=False):
+def make_world_const_sky():
+    """The demo world with the sky's dynamic texture chain (Multiply →
+    Transformed → SphericalCoords → ImageTex gather) replaced by a
+    constant emissive — isolates the per-bounce texture-eval cost.
+    Geometry identical to builders.make_world (same leaf count)."""
+    import math
+
+    import numpy as np
+    from ptx.core import linalg
+    from ptx.geom.tape import Intersection, Plane, Sphere, Union
+    from ptx.scenes.builders import make_lens, sky_planes, union_array
+    from ptx.shade.materials import Material, transform_material
+
+    mat_diffuse = Material(reflect=0.8, scatter=1.0)
+    mat_emit_w = Material(reflect=0.0, scatter=0.0, emissive=2.0)
+    mat_glass = Material(reflect=0.7, scatter=0.0, emissive=0.0,
+                         transmit=0.9, ior=1.3, transmit_reflect=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.5, 0.6, 0.8))
+    shift = np.asarray(linalg.translate((-1.0, 0.0, 4.0)))
+    return union_array([
+        Sphere((1.0, 0.0, -4.0), 0.2, transform_material(shift, mat_diffuse)),
+        Intersection(
+            Sphere((1.0, 0.0, -4.0), 1.0, mat_glass),
+            Union(
+                Plane.from_point((-1.0, 0.0, -0.7), (1.0, 0.0, -4.0), mat_glass),
+                Sphere((1.0, 0.0, -4.0), 0.2, transform_material(shift, mat_emit_w)),
+            ),
+        ),
+        Sphere((-1.0, 0.0, -4.0), 0.2, mat_diffuse),
+        *sky_planes(sky),
+        make_lens((-2.5 / 4, 0.0, -2.5), (-1.0, 0.0, -4.0), 0.5, 1.0, mat_glass),
+    ])
+
+
+def run(label, tries=None, const_material=False, hit_only=False,
+        const_sky=False):
     import jax
     import jax.numpy as jnp
     from ptx.core import rng
@@ -37,7 +75,8 @@ def run(label, tries=None, const_material=False, hit_only=False):
     if tries is not None:
         tr.SCATTER_TRIES = tries
     try:
-        scene = tr.compile_scene(make_world())
+        world = make_world_const_sky() if const_sky else make_world()
+        scene = tr.compile_scene(world)
         if const_material:
             real = scene.material_fn
             const = {}
@@ -81,6 +120,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     for cfg in [
         ("full_exact_sampler", dict()),
+        ("const_sky_no_gather", dict(const_sky=True)),
         ("const_material", dict(const_material=True)),
         ("hit_plus_loop_only", dict(hit_only=True)),
     ]:

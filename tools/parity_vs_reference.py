@@ -40,18 +40,26 @@ import numpy as np
 
 REF = "/root/reference"
 
-# (x, y, size): sky corner, sky gradient, glass bulb w/ emissive core,
-# diffuse sphere (projects to ~(420, 540) r≈108 px), lens (~(690, 540)),
-# shadowed background, ground/horizon.  Diffuse blocks are small: the
-# reference's 10000-child scatter fan-out makes them ~1 px/s/thread.
+# (x, y, size) with measured screen projections (camera: screen=pixel
+# dims at distance 2·1080, so px = 960·(1 − 1.125·X/Z)): glass bulb
+# (unit sphere at (1,0,−4)) → disc r≈270 px at (1230, 540); its emissive
+# core and inner diffuse sphere (r 0.2) → r≈54 px at (1230, 540); the
+# lens (r 0.5 at (−0.625,0,−2.5)) → r≈216 px at (690, 540); the diffuse
+# sphere (r 0.2 at (−1,0,−4)) → r≈54 px at (690, 540) — entirely BEHIND
+# the lens disc, visible only through it.  Pure-sky blocks compare
+# exactly (nearest-texel sky lookups are jitter-invariant at this
+# resolution — both renderers return the identical texel): they validate
+# the sky texture stack bit-level, not the integrator.  The
+# diffuse-through-lens block is the slow one: the reference's
+# 10000-child scatter fan-out renders it at ~1 px/s/thread.
 BLOCKS = [
-    (64, 64, 64),
-    (1600, 200, 64),
-    (1176, 486, 64),
-    (420, 524, 32),
-    (674, 524, 32),
-    (900, 560, 32),
-    (300, 900, 48),
+    (64, 64, 64),       # sky corner (deterministic-texel control)
+    (1600, 200, 64),    # sky right (deterministic-texel control)
+    (300, 900, 48),     # sky bottom (deterministic-texel control)
+    (1176, 486, 64),    # glass bulb interior + emissive core
+    (944, 524, 32),     # glass bulb rim vs sky
+    (560, 524, 32),     # lens-refracted sky
+    (674, 524, 32),     # diffuse sphere seen through the lens (hard)
 ]
 
 
@@ -98,8 +106,10 @@ def build_reference(workdir: str) -> str:
     from ptx.scenes.builders import procedural_sky_image
     from ptx.io import hdr
     sky_path = os.path.join(workdir, "Serpentine_Valley_3k.hdr")
-    if not os.path.exists(sky_path):
-        hdr.write(sky_path, procedural_sky_image(1536, 3072)[..., :3])
+    # ALWAYS regenerate: a stale file from an older builders version
+    # silently changes the scene for both renderers (cost one dark-sky
+    # parity run to learn)
+    hdr.write(sky_path, procedural_sky_image(1536, 3072)[..., :3])
     return out
 
 
@@ -145,6 +155,19 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.03)
     args = ap.parse_args()
 
+    # fail fast if a stale server holds the port: our Popen'd server
+    # would silently fail to bind and every block would come from a
+    # process with a DIFFERENT scene (cost one wasted parity run to learn)
+    probe = socket.socket()
+    try:
+        probe.bind(("127.0.0.1", 12346))
+    except OSError:
+        print("ERROR: port 12346 already bound — kill the stale "
+              "ref-server first (ss -tlnp | grep 12346)", file=sys.stderr)
+        return 2
+    finally:
+        probe.close()
+
     build_reference(args.workdir)
     srv = subprocess.Popen(["./ref-server"], cwd=args.workdir,
                            stdout=subprocess.DEVNULL,
@@ -181,6 +204,7 @@ def main():
                                    args.spp_chunk, 16)
                 acc = img if acc is None else acc + img
             ptx_blocks[(x, y, sz)] = np.asarray(acc) / chunks
+        print(json.dumps({"event": "ptx_blocks_done"}), flush=True)
 
         all_pass = True
         worst = 0.0
