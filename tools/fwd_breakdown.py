@@ -17,14 +17,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def timed(step, x0, iters=20):
     """Dependent-dispatch chain ending in a bytes fetch — on this remote
     backend block_until_ready is NOT a completion barrier (see
-    tools/roofline.py module docstring); only fetched bytes are."""
+    tools/roofline.py module docstring); only fetched bytes are.  Fetch a
+    device-sliced scalar, not the carry: np.asarray on the full (B, 3)
+    carry pulls ~1.5 MB through the ~25 MB/s tunnel (~3 ms/iter of pure
+    transfer contaminating every variant)."""
     import numpy as np
+    fetch = lambda x: np.asarray(x[:1, :1])
     x = step(x0)
-    np.asarray(x).ravel()[:1]
+    fetch(x)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step(x)
-    np.asarray(x).ravel()[:1]
+    fetch(x)
     return (time.perf_counter() - t0) / iters
 
 
@@ -63,10 +67,11 @@ def make_world_const_sky():
 
 
 def run(label, tries=None, const_material=False, hit_only=False,
-        const_sky=False):
+        const_sky=False, fixed_rng=False, mirror_only=False,
+        no_transmit=False):
     import jax
     import jax.numpy as jnp
-    from ptx.core import rng
+    from ptx.core import linalg, rng
     from ptx.integrate import trace as tr
     from ptx.integrate.camera import Camera, sample_rays
     from ptx.scenes.builders import make_world
@@ -74,6 +79,31 @@ def run(label, tries=None, const_material=False, hit_only=False,
     old_tries = tr.SCATTER_TRIES
     if tries is not None:
         tr.SCATTER_TRIES = tries
+    saved = {}
+
+    def patch(mod, name, fn):
+        saved[(mod, name)] = getattr(mod, name)
+        setattr(mod, name, fn)
+
+    if fixed_rng:
+        # remove threefry hashing (fold + uniform) — control flow stays
+        # lane-varying because the comparisons mix in per-lane geometry
+        patch(rng, "fold", lambda k, *a: k)
+        patch(jax.random, "uniform", lambda key, shape=(), **kw:
+              jnp.full(shape, 0.4321, jnp.float32))
+    if mirror_only:
+        # pure specular reflection in place of the cap sampler
+        def mirror(key, direction, normal, scatter_c, return_raw=False):
+            out = linalg.reflect(direction, normal)
+            ok = jnp.ones(out.shape[:-1], bool)
+            if return_raw:
+                return out, ok, jnp.zeros_like(out)
+            return out, ok
+        patch(tr, "sample_scatter_dir", mirror)
+    if no_transmit:
+        patch(linalg, "refract_strength",
+              lambda d, eta, n: jnp.zeros(d.shape[:-1], d.dtype))
+        patch(linalg, "refract", lambda d, eta, n: jnp.zeros_like(d))
     try:
         world = make_world_const_sky() if const_sky else make_world()
         scene = tr.compile_scene(world)
@@ -112,6 +142,8 @@ def run(label, tries=None, const_material=False, hit_only=False,
                 "segments_mrps": round(B * (depth + 1) / dt / 1e6, 2)}
     finally:
         tr.SCATTER_TRIES = old_tries
+        for (mod, name), fn in saved.items():
+            setattr(mod, name, fn)
 
 
 def main():
@@ -122,6 +154,9 @@ def main():
         ("full_exact_sampler", dict()),
         ("const_sky_no_gather", dict(const_sky=True)),
         ("const_material", dict(const_material=True)),
+        ("fixed_rng_no_threefry", dict(fixed_rng=True)),
+        ("mirror_no_sampler", dict(mirror_only=True)),
+        ("no_transmit_branch", dict(no_transmit=True)),
         ("hit_plus_loop_only", dict(hit_only=True)),
     ]:
         label, kw = cfg

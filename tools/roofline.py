@@ -94,8 +94,12 @@ def measure_hbm_bw():
 
     @functools.partial(jax.jit, static_argnums=1)
     def passes(x, R):
-        return jax.lax.scan(lambda c, _: (c * 1.0000001, 0.0), x, None,
-                            length=R)[0]
+        # reduce to a scalar: np.asarray in _true_time fetches the WHOLE
+        # result through the ~25 MB/s host tunnel — returning the 512 MB
+        # array made the measurement a tunnel benchmark (cost one absurd
+        # "8.8 GB/s HBM" reading to learn)
+        return jnp.sum(jax.lax.scan(lambda c, _: (c * 1.0000001, 0.0), x,
+                                    None, length=R)[0])
 
     per_r, d1, d2 = _slope(passes, x, 8, 24)
     return 2 * x.size * 4 / per_r, {"d_r8_s": round(d1, 3),
@@ -130,8 +134,9 @@ def measure_hbm_bw_pallas():
 
     @functools.partial(jax.jit, static_argnums=1)
     def run(x, R):
-        return jax.lax.scan(lambda c, _: (copy(c), 0.0), x, None,
-                            length=R)[0]
+        # scalar-reduced for the same tunnel-fetch reason as measure_hbm_bw
+        return jnp.sum(jax.lax.scan(lambda c, _: (copy(c), 0.0), x, None,
+                                    length=R)[0])
 
     per_r, d1, d2 = _slope(run, x, 16, 48)
     return 2 * x.size * 4 / per_r, {"d_r16_s": round(d1, 3),
@@ -152,8 +157,8 @@ def measure_mxu_peak():
 
     @functools.partial(jax.jit, static_argnums=1)
     def run(x, R):
-        return jax.lax.scan(lambda c, _: (jnp.dot(c, w), 0.0), x, None,
-                            length=R)[0]
+        return jnp.sum(jax.lax.scan(lambda c, _: (jnp.dot(c, w), 0.0), x,
+                                    None, length=R)[0].astype(jnp.float32))
 
     per_r, d1, d2 = _slope(run, x, 64, 192)
     return 2 * N ** 3 / per_r, {"d_r64_s": round(d1, 3),
