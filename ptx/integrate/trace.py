@@ -77,6 +77,7 @@ class CompiledScene:
     plan: Any = None
     hit_fn: Callable = None     # (params, origin, dir) -> first-hit dict
     hit_replay_fn: Callable = None   # (params, o, d, evt, entering, hit)
+    bounce_fn: Callable = None  # fused bounce kernel (ptx.ops.bounce_kernel)
     _manual_bounce: Callable = None  # cached custom-VJP bounce step
 
 
@@ -126,10 +127,29 @@ def compile_scene(root, fast: bool = True,
         from ptx.geom import hitreplay
         from ptx.geom.fasthit import collect_leaves
         hit_replay_fn = hitreplay.build_hit_replay(collect_leaves(plan))
+
+    # fused bounce kernel: only when the Pallas hit path is active AND
+    # every non-emissive material slot is a Constant (the kernel packs
+    # them into SMEM; emission — the one slot that may gather image
+    # textures — stays in XLA).  PTX_FUSED=0 forces the unfused path.
+    bounce_fn = None
+    fused_env = os.environ.get("PTX_FUSED")
+    want_fused = (fused_env == "1") or (fused_env is None and pallas)
+    if (want_fused and fast and pallas and n_leaves <= kernel_max
+            and not any(material_fn.dynamic_slots[s]
+                        for s in ("reflect", "scatter", "transmit",
+                                  "transmit_reflect"))):
+        from ptx.ops.bounce_kernel import build_bounce_kernel
+        from ptx.geom.fasthit import collect_leaves
+        lv = collect_leaves(plan)
+        mats_np = [lf.mat_id for lf, _ in lv]
+        bounce_fn = build_bounce_kernel(
+            plan, (material_fn.const_idx, material_fn.n_materials), mats_np)
     return CompiledScene(params=params, spans_fn=spans_fn,
                          material_fn=material_fn,
                          n_materials=len(ordered_materials), plan=plan,
-                         hit_fn=hit_fn, hit_replay_fn=hit_replay_fn)
+                         hit_fn=hit_fn, hit_replay_fn=hit_replay_fn,
+                         bounce_fn=bounce_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -323,8 +343,42 @@ def _virtual_fanout(strength, add_factor, sc):
     return jnp.where((sc <= EPS) | (vcount < 1.0), 1.0, vcount)
 
 
+def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
+                       strength, alive, radiance, k, in_depth):
+    """Fused-kernel live bounce: ONE Pallas launch does hit + shade +
+    scatter + carry update (ptx.ops.bounce_kernel); XLA contributes only
+    the threefry draws (bit-identical to the unfused path's) and the
+    emissive texture eval + radiance accumulate.  Decisions dict is
+    identical in meaning to :func:`_bounce_live`'s — the backward replay
+    is shared.  Forward-only (wrapped in the custom VJP); outputs carry
+    no gradient graph."""
+    batch_shape = o.shape[:-1]
+    u_coin = jax.random.uniform(rng.fold(k, 1), batch_shape)
+    u3 = jax.random.uniform(rng.fold(k, 2), batch_shape + (3,))
+    kb = scene.bounce_fn(params, o, d, throughput, strength, alive,
+                         u_coin, u3, in_depth)
+    live_hit = alive & kb["hit"]
+    pos = o + kb["t"][..., None] * d
+    emissive = scene.material_fn.eval_emissive(params, pos, kb["mat_id"])
+    radiance = radiance + jnp.where(live_hit[..., None],
+                                    throughput * emissive, 0.0)
+    sg = jax.lax.stop_gradient
+    decisions = {
+        "evt": kb["evt"],
+        "entering": kb["entering"],
+        "hit": kb["hit"],
+        "mat_id": kb["mat_id"],
+        "take_transmit": kb["take_transmit"],
+        "scatter_alive": kb["scatter_alive"],
+        "u_sel": sg(kb["u_sel"]),
+    }
+    carry = (sg(kb["o2"]), sg(kb["d2"]), sg(kb["thr2"]),
+             sg(kb["strength2"]), kb["alive2"], radiance)
+    return carry, decisions
+
+
 def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
-                 alive, radiance, k, in_depth):
+                 alive, radiance, k, in_depth, use_fused: bool = True):
     """One wavefront bounce, live mode: draws RNG, evaluates the first hit
     (Pallas kernel on TPU), makes the stochastic/discrete decisions.
 
@@ -332,7 +386,14 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     backward replay needs that is either random (branch coin, selected
     scatter draw) or expensive to recompute (the winning hit event) — all
     stop-gradient by construction.
+
+    ``use_fused=False`` forces the XLA composition even when the scene
+    has a fused bounce kernel — required under plain autodiff
+    (``trace_rays(manual_vjp=False)``): the kernel is not differentiable.
     """
+    if use_fused and scene.bounce_fn is not None:
+        return _bounce_live_fused(scene, params, o, d, throughput,
+                                  strength, alive, radiance, k, in_depth)
     batch_shape = o.shape[:-1]
 
     if scene.hit_fn is not None:
@@ -635,7 +696,7 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             k = rng.fold(key, bounce_idx)
             out, _dec = _bounce_live(scene, params, o, d, throughput,
                                      strength, alive, radiance, k,
-                                     bounce_idx < depth)
+                                     bounce_idx < depth, use_fused=False)
             return out, None
         if remat:
             bounce = jax.checkpoint(bounce)  # O(1) residuals/bounce

@@ -1,0 +1,379 @@
+"""Fused Pallas bounce megakernel: first hit + shade + scatter in ONE
+kernel launch per bounce.
+
+Why.  The forward step's cost is not arithmetic: ablations
+(docs/perf_roofline.md) show each XLA-side bounce component (refract
+math 9.6 ms, sampler 3.3 ms, RNG 2.5 ms per 131k×17 chunk) costs ~150×
+its op count because every sub-chain compiles to its own fusion whose
+(B,)/(B,3) intermediates round-trip HBM.  Fusing the whole bounce into
+the hit kernel keeps all intermediates in VMEM/registers: per lane per
+bounce exactly one read of the carry and one write of the updated carry
+plus decision lanes.
+
+Division of labor per bounce:
+
+- kernel (this file): hit fold (shared ``hit_fold`` from
+  ptx.ops.fasthit_kernel), material constants selected from SMEM,
+  refract/Fresnel (4th-root ``refractStrength``,
+  /root/reference/include/vector3d.h:191-214), stochastic branch pick,
+  the exact ball-cap scatter sampler, throughput/strength update
+  (including the reference's virtual fan-out division,
+  path-trace.h:130-162);
+- XLA (ptx.integrate.trace._bounce_live): threefry uniforms in (exact
+  same draws as the unfused path), emissive texture evaluation + radiance
+  accumulation out (the one slot that may gather images — per-lane HBM
+  gathers are impossible in a TPU kernel), dead-lane compaction.
+
+Eligibility (checked at compile_scene): Pallas hit path active AND every
+material's reflect/scatter/transmit/transmit_reflect slot is a Constant
+texture (emissive may be anything).  The demo scene qualifies; scenes
+with procedural non-emissive slots fall back to the unfused path.
+
+Backward is untouched: the manual full-bounce VJP replays the saved
+decisions (hit event, branch coin, selected scatter draw ``u_sel``) in
+plain jnp (ptx.integrate.trace._bounce_replay) — the kernel only ever
+runs under ``stop_gradient`` inside the custom-VJP forward.
+
+Mosaic notes: arccos/atan2 are not lowered on this toolchain, so
+``_acos`` is a Hastings polynomial + one Newton step through the
+supported ``sin``/``cos`` (f32-accurate); all register state that feeds
+selects is f32 (bool select chains are rejected — see fasthit_kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptx.core.constants import EPS
+from ptx.ops.fasthit_kernel import (_TILE, _TILE_ROWS, _collect_leaves,
+                                    _pack_params, hit_fold)
+
+# material SLOTS packed per material into SMEM (9 f32):
+# [rfl0 rfl1 rfl2 scatter_f tr0 tr1 tr2 transmit_reflect_f ior]
+_MAT_STRIDE = 9
+
+
+def _acos(a):
+    """arccos on [-1, 1]: Hastings 4-term (|err| ≤ 6.7e-5 rad) + one
+    Newton step via the Mosaic-supported sin/cos (→ f32-accurate away
+    from the endpoints, where the guarded step keeps the seed)."""
+    aa = jnp.clip(a, -1.0, 1.0)
+    x = jnp.abs(aa)
+    p = jnp.float32(-0.0187293)
+    p = p * x + jnp.float32(0.0742610)
+    p = p * x - jnp.float32(0.2121144)
+    p = p * x + jnp.float32(1.5707288)
+    th = jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
+    th = jnp.where(aa < 0.0, jnp.float32(np.pi) - th, th)
+    s = jnp.sin(th)
+    return th + (jnp.cos(th) - aa) / jnp.maximum(s, 1e-6)
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    """linalg.normalize semantics: zero vectors pass through; |v|² overflow
+    to inf yields inv = 0 (finite zero output) — same guards the unfused
+    path relies on for miss-lane garbage."""
+    m2 = _dot3(x, y, z, x, y, z)
+    inv = 1.0 / jnp.sqrt(jnp.where(m2 == 0.0, 1.0, m2))
+    return x * inv, y * inv, z * inv
+
+
+def build_bounce_kernel(plan, material_meta, mats_np):
+    """Compile the fused bounce kernel for a scene plan.
+
+    ``material_meta``: (const_table_rows_fn) — see ``_pack_material``
+    below; ``mats_np``: (L,) per-leaf material ids.
+
+    Returns ``bounce_fn(params, o, d, thr, strength, alive, u_coin, u3,
+    in_depth) -> dict`` operating on flat (B, 3)/(B,) arrays.
+    """
+    leaves = _collect_leaves(plan)
+    L = len(leaves)
+    leaf_pos = {id(lf): i for i, (lf, _) in enumerate(leaves)}
+    parity_np = np.array([p for _, p in leaves], np.float32)
+    const_idx, n_materials = material_meta
+    leaf_mat = np.asarray(mats_np, np.int32)
+
+    # static packed layout: geo params first (same layout as the hit
+    # kernel), then n_materials × _MAT_STRIDE material scalars, then the
+    # in_depth flag
+    probe_leaves = leaves
+
+    def _pack_all(params, in_depth):
+        geo, offsets = _pack_params(probe_leaves, params)
+        const = params["const"]            # (R, 3) differentiable table
+        rfl = const[const_idx["reflect"]]              # (M, 3)
+        sc = jnp.mean(const[const_idx["scatter"]], axis=-1)        # (M,)
+        tr = const[const_idx["transmit"]]              # (M, 3)
+        trc = jnp.mean(const[const_idx["transmit_reflect"]], axis=-1)
+        ior = params["ior"]                            # (M,)
+        mat = jnp.concatenate([rfl, sc[:, None], tr, trc[:, None],
+                               ior[:, None]], axis=-1).reshape(-1)
+        flag = jnp.asarray(in_depth, jnp.float32).reshape(1)
+        return jnp.concatenate([geo, mat, flag]), offsets
+
+    # offsets are static — probe once with zeros-like shapes at build time
+    # is unnecessary: _pack_params offsets depend only on leaf kinds
+    _probe_params = None
+
+    def kernel(pp_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tx_ref, ty_ref, tz_ref, st_ref, al_ref,
+               uc_ref, ua_ref, ub_ref, up_ref,
+               # outputs
+               t_ref, o2x_ref, o2y_ref, o2z_ref,
+               d2x_ref, d2y_ref, d2z_ref,
+               t2x_ref, t2y_ref, t2z_ref,
+               st2_ref, flags_ref, evt_ref,
+               ux_ref, uy_ref, uz_ref,
+               *, offsets, geo_len):
+        P = lambda i: pp_ref[0, i]
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+        dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+        thx, thy, thz = tx_ref[...], ty_ref[...], tz_ref[...]
+        strength = st_ref[...]
+        alive = al_ref[...] > 0.5
+        u_coin = uc_ref[...]
+        u3a, u3b, u3c = ua_ref[...], ub_ref[...], up_ref[...]
+        in_depth = pp_ref[0, geo_len + n_materials * _MAT_STRIDE] > 0.5
+
+        best_t, best_i, best_after_f, hit, nx, ny, nz = hit_fold(
+            plan, leaves, offsets, leaf_pos, parity_np, P,
+            ox, oy, oz, dx, dy, dz)
+        entering = best_after_f > 0.5
+        t = jnp.where(hit, best_t, 0.0)
+        live_hit = alive & hit
+        leaf_idx = jnp.where(best_i >= L, best_i - jnp.float32(L), best_i)
+
+        # material scalars by leaf one-hot (leaf→material is static)
+        def mat_scalar(j):
+            v = jnp.zeros(ox.shape, jnp.float32)
+            for k in range(L):
+                sel = leaf_idx == jnp.float32(k)
+                v = jnp.where(sel,
+                              P(geo_len + int(leaf_mat[k]) * _MAT_STRIDE + j),
+                              v)
+            return v
+        rfl0, rfl1, rfl2 = mat_scalar(0), mat_scalar(1), mat_scalar(2)
+        scatter_f = mat_scalar(3)
+        tr0, tr1, tr2 = mat_scalar(4), mat_scalar(5), mat_scalar(6)
+        trc_f = mat_scalar(7)
+        ior = mat_scalar(8)
+
+        # continuation gate (path-trace.h:105)
+        cont = live_hit & in_depth & (strength >= EPS)
+
+        pos_x = ox + t * dx
+        pos_y = oy + t * dy
+        pos_z = oz + t * dz
+
+        rel_ior = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-20), ior)
+
+        # refract strength + direction (vector3d.h:191-214, linalg guards)
+        nux, nuy, nuz = _normalize3(nx, ny, nz)
+        ix, iy, iz = _normalize3(dx, dy, dz)
+        idn = _dot3(ix, iy, iz, nux, nuy, nuz)
+        arg = 1.0 - rel_ior * rel_ior * (1.0 - idn * idn)
+        n_m2 = _dot3(nx, ny, nz, nx, ny, nz)
+        d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
+        base_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
+                   & (n_m2 > 0.0) & (d_m2 > 0.0))
+        rs_ok = base_ok & (arg > 0.0)
+        refract_strength = jnp.where(
+            rs_ok, jnp.sqrt(jnp.sqrt(jnp.where(rs_ok, arg, 1.0))), 0.0)
+        rd_ok = base_ok & (arg >= 0.0)
+        kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
+        rdx = rel_ior * ix - kk * nux
+        rdy = rel_ior * iy - kk * nuy
+        rdz = rel_ior * iz - kk * nuz
+        rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
+        rdx = jnp.where(rd_ok, rdx, 0.0)
+        rdy = jnp.where(rd_ok, rdy, 0.0)
+        rdz = jnp.where(rd_ok, rdz, 0.0)
+
+        trc = jnp.clip(trc_f, 0.0, 1.0)
+        refract_factor = trc * refract_strength
+        refr_ok = ((refract_factor > EPS)
+                   & ((rdx != 0.0) | (rdy != 0.0) | (rdz != 0.0)))
+        p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
+        take_transmit = (u_coin < p_transmit) & cont
+        add_factor = 1.0 - p_transmit
+        scatter_alive = cont & ~take_transmit & (add_factor >= EPS)
+
+        # --- exact ball-cap scatter sampler (trace.sample_scatter_dir) ---
+        two_idn = 2.0 * _dot3(dx, dy, dz, nux, nuy, nuz)
+        refx = dx - two_idn * nux
+        refy = dy - two_idn * nuy
+        refz = dz - two_idn * nuz
+        sc = jnp.clip(scatter_f, 0.0, 1.0)
+        specular = sc <= EPS
+        safe_sc = jnp.where(specular, 1.0, sc)
+        bias_s = 1.0 / safe_sc - 1.0
+        bx, by, bz = bias_s * refx, bias_s * refy, bias_s * refz
+        m2 = _dot3(nx, ny, nz, nx, ny, nz)
+        m = jnp.sqrt(jnp.where(m2 == 0.0, 1.0, m2))
+        nhx, nhy, nhz = nx / m, ny / m, nz / m
+        c = (EPS - _dot3(nx, ny, nz, bx, by, bz)) / m
+        feasible = c < 1.0
+        cc = jnp.clip(c, -1.0, 1.0)
+        g = lambda z_: z_ - z_ * z_ * z_ * jnp.float32(1.0 / 3.0)
+        G = g(cc) + u3a * (jnp.float32(2.0 / 3.0) - g(cc))
+        carg = jnp.clip(-1.5 * G, -1.0, 1.0)
+        z = 2.0 * jnp.cos(_acos(carg) * jnp.float32(1.0 / 3.0)
+                          - jnp.float32(2.0 * np.pi / 3.0))
+        z = jnp.clip(z, cc, 1.0)
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0) * u3b)
+        phi = jnp.float32(2.0 * np.pi) * u3c
+        xx, yy = r * jnp.cos(phi), r * jnp.sin(phi)
+        # branchless orthonormal frame (Duff et al. 2017)
+        s_ = jnp.where(nhz >= 0.0, 1.0, -1.0)
+        a_ = -1.0 / (s_ + nhz)
+        b_ = nhx * nhy * a_
+        e1x, e1y, e1z = 1.0 + s_ * nhx * nhx * a_, s_ * b_, -s_ * nhx
+        e2x, e2y, e2z = b_, s_ + nhy * nhy * a_, -nhy
+        usx = xx * e1x + yy * e2x + z * nhx
+        usy = xx * e1y + yy * e2y + z * nhy
+        usz = xx * e1z + yy * e2z + z * nhz
+        sdx, sdy, sdz = _normalize3(usx + bx, usy + by, usz + bz)
+        scx = jnp.where(specular, refx, sdx)
+        scy = jnp.where(specular, refy, sdy)
+        scz = jnp.where(specular, refz, sdz)
+        scat_ok = specular | feasible
+        scatter_alive = scatter_alive & scat_ok
+        factor = 1.0 - (1.0 - _dot3(scx, scy, scz, nx, ny, nz)) * sc
+
+        new_alive = take_transmit | scatter_alive
+        ndx = jnp.where(take_transmit, rdx, scx)
+        ndy = jnp.where(take_transmit, rdy, scy)
+        ndz = jnp.where(take_transmit, rdz, scz)
+        bt0 = jnp.where(take_transmit, tr0, factor * rfl0)
+        bt1 = jnp.where(take_transmit, tr1, factor * rfl1)
+        bt2 = jnp.where(take_transmit, tr2, factor * rfl2)
+        nthx, nthy, nthz = thx * bt0, thy * bt1, thz * bt2
+
+        # strength bookkeeping incl. the virtual fan-out division
+        # (trace._virtual_fanout, path-trace.h:118,130-136,162)
+        tr_norm = jnp.sqrt(tr0 * tr0 + tr1 * tr1 + tr2 * tr2)
+        rf_norm = jnp.sqrt(rfl0 * rfl0 + rfl1 * rfl1 + rfl2 * rfl2)
+        tr_strength = strength * refract_factor * tr_norm
+        vcount = jnp.floor(10000.0 * strength * add_factor * sc)
+        vcount = jnp.where((sc <= EPS) | (vcount < 1.0), 1.0, vcount)
+        sc_strength = (strength / vcount) * add_factor * factor * rf_norm
+        new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
+
+        t_ref[...] = t
+        o2x_ref[...] = jnp.where(new_alive, pos_x, ox)
+        o2y_ref[...] = jnp.where(new_alive, pos_y, oy)
+        o2z_ref[...] = jnp.where(new_alive, pos_z, oz)
+        d2x_ref[...] = jnp.where(new_alive, ndx, dx)
+        d2y_ref[...] = jnp.where(new_alive, ndy, dy)
+        d2z_ref[...] = jnp.where(new_alive, ndz, dz)
+        t2x_ref[...] = jnp.where(new_alive, nthx, thx)
+        t2y_ref[...] = jnp.where(new_alive, nthy, thy)
+        t2z_ref[...] = jnp.where(new_alive, nthz, thz)
+        st2_ref[...] = jnp.where(new_alive, new_strength, strength)
+        flags_ref[...] = (jnp.where(hit, 1.0, 0.0)
+                          + jnp.where(entering, 2.0, 0.0)
+                          + jnp.where(take_transmit, 4.0, 0.0)
+                          + jnp.where(scatter_alive, 8.0, 0.0)
+                          + jnp.where(new_alive, 16.0, 0.0))
+        evt_ref[...] = jnp.where(hit, best_i, 0.0)
+        ux_ref[...] = usx
+        uy_ref[...] = usy
+        uz_ref[...] = usz
+
+    interpret = jax.default_backend() != "tpu"
+
+    # static geo length/offsets: derive from leaf kinds only
+    geo_len = 0
+    offsets = []
+    for lf, _p in leaves:
+        offsets.append(geo_len)
+        geo_len += 4 if lf.kind == "sphere" else 5
+        if lf.xform_chain:
+            geo_len += 21
+
+    kern = functools.partial(kernel, offsets=offsets, geo_len=geo_len)
+
+    @jax.jit
+    def run_kernel(packed, *arrs):
+        n = arrs[0].shape[0]
+        rows = n // 128
+        shape2 = (rows, 128)
+        grid = rows // _TILE_ROWS
+        block = pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((1, packed.shape[0]), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+                     + [block] * len(arrs),
+            out_specs=[block] * 16,
+            out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 16,
+            interpret=interpret,
+        )(packed[None, :], *(a.reshape(shape2) for a in arrs))
+        return [o.reshape(n) for o in outs]
+
+    def bounce_fn(params, o, d, thr, strength, alive, u_coin, u3, in_depth):
+        """Flat (B, 3)/(B,) in; dict of kernel outputs (B, …) out.  All
+        outputs are forward values only — callers wrap in stop_gradient /
+        custom VJP (ptx.integrate.trace)."""
+        B = o.shape[0]
+        pad = (-B) % _TILE
+        def flat(a, fill=0.0):
+            a = a.reshape(B, -1) if a.ndim > 1 else a[:, None]
+            cols = []
+            for j in range(a.shape[1]):
+                col = a[:, j]
+                if pad:
+                    col = jnp.concatenate(
+                        [col, jnp.full((pad,), fill, col.dtype)])
+                cols.append(col)
+            return cols
+        ox, oy, oz = flat(o)
+        dx, dy, dz = flat(d)
+        if pad:
+            dz = dz.at[B:].set(-1.0)
+        thx, thy, thz = flat(thr)
+        (st,) = flat(strength)
+        (al,) = flat(alive.astype(jnp.float32))
+        (uc,) = flat(u_coin)
+        ua, ub, up = flat(u3)
+        packed, _ = _pack_all(params, in_depth)
+        outs = run_kernel(packed, ox, oy, oz, dx, dy, dz,
+                          thx, thy, thz, st, al, uc, ua, ub, up)
+        cut = lambda a: a[:B]
+        (t, o2x, o2y, o2z, d2x, d2y, d2z, t2x, t2y, t2z,
+         st2, flags, evt, ux, uy, uz) = [cut(x) for x in outs]
+        fl = flags.astype(jnp.int32)
+        evt_i = evt.astype(jnp.int32)
+        leaf = jnp.where(evt_i >= L, evt_i - L, evt_i)
+        hit = (fl & 1).astype(bool)
+        return {
+            "t": t,
+            "o2": jnp.stack([o2x, o2y, o2z], axis=-1),
+            "d2": jnp.stack([d2x, d2y, d2z], axis=-1),
+            "thr2": jnp.stack([t2x, t2y, t2z], axis=-1),
+            "strength2": st2,
+            "hit": hit,
+            "entering": ((fl >> 1) & 1).astype(bool),
+            "take_transmit": ((fl >> 2) & 1).astype(bool),
+            "scatter_alive": ((fl >> 3) & 1).astype(bool),
+            "alive2": ((fl >> 4) & 1).astype(bool),
+            "evt": evt_i,
+            "mat_id": jnp.asarray(leaf_mat)[leaf] * (fl & 1),
+            "u_sel": jnp.stack([ux, uy, uz], axis=-1),
+        }
+
+    return bounce_fn

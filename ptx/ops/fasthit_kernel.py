@@ -170,6 +170,66 @@ def _fold_tape(plan, leaf_pos, bits):
     return kids[0] & ~kids[1]
 
 
+def hit_fold(plan, leaves, offsets, leaf_pos, parity_np, P,
+             ox, oy, oz, dx, dy, dz):
+    """The in-kernel first-hit fold, shared by the hit megakernel and the
+    fused bounce kernel (ptx.ops.bounce_kernel).
+
+    Returns ``(best_t, best_i, best_after_f, hit, nx, ny, nz)`` — signed
+    normals, all-f32 carry (see the Mosaic bool-select note below).
+    ``best_t`` is UNGATED (``_PAD_T`` on miss); callers gate ``t`` with
+    ``hit`` themselves.
+    """
+    t0s, t1s, normal_fns = [], [], []
+    for (lf, _p), off in zip(leaves, offsets):
+        t0, t1, nfn = _leaf_interval_exprs(lf, P, off,
+                                           ox, oy, oz, dx, dy, dz)
+        t0s.append(t0)
+        t1s.append(t1)
+        normal_fns.append(nfn)
+    L = len(leaves)
+
+    # all-f32 register state: Mosaic (this toolchain) rejects
+    # select-of-bool chains ("unsupported bitwidth for truncation"),
+    # so the entering flag is carried as 0.0/1.0
+    best_t = jnp.full(ox.shape, _PAD_T, jnp.float32)
+    best_i = jnp.zeros(ox.shape, jnp.float32)        # event index as f32
+    best_after_f = jnp.zeros(ox.shape, jnp.float32)
+    any_c = jnp.zeros(ox.shape, bool)
+    for i in range(2 * L):
+        ti = t0s[i % L] if i < L else t1s[i % L]
+        after_bits = [(t0s[k] <= ti) & (ti < t1s[k]) for k in range(L)]
+        before_bits = [(t0s[k] < ti) & (ti <= t1s[k]) for k in range(L)]
+        after = _fold_tape(plan, leaf_pos, after_bits)
+        before = _fold_tape(plan, leaf_pos, before_bits)
+        cand = (after != before) & (ti >= EPS)
+        better = cand & (ti < best_t)
+        best_t = jnp.where(better, ti, best_t)
+        best_i = jnp.where(better, jnp.float32(i), best_i)
+        best_after_f = jnp.where(better, jnp.where(after, 1.0, 0.0),
+                                 best_after_f)
+        any_c = any_c | cand
+
+    best_after = best_after_f > 0.5
+    escaped = best_t >= MAX_VALUE
+    hit = any_c & ~escaped
+    leaf_idx = jnp.where(best_i >= L, best_i - L, best_i)
+
+    nx = jnp.zeros(ox.shape, jnp.float32)
+    ny = jnp.zeros(ox.shape, jnp.float32)
+    nz = jnp.zeros(ox.shape, jnp.float32)
+    par = jnp.zeros(ox.shape, jnp.float32)
+    for k in range(L):
+        sel = leaf_idx == jnp.float32(k)
+        kx, ky, kz = normal_fns[k](best_t, None)
+        nx = jnp.where(sel, kx, nx)
+        ny = jnp.where(sel, ky, ny)
+        nz = jnp.where(sel, kz, nz)
+        par = jnp.where(sel, jnp.float32(parity_np[k]), par)
+    sign = par * jnp.where(best_after, 1.0, -1.0)
+    return best_t, best_i, best_after_f, hit, nx * sign, ny * sign, nz * sign
+
+
 def build_hit_kernel(plan):
     """Returns ``hit_fn(params, origin, direction)`` backed by the Pallas
     kernel with a custom VJP."""
@@ -205,60 +265,17 @@ def build_hit_kernel(plan):
         ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
         dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
 
-        t0s, t1s, normal_fns = [], [], []
-        for (lf, _p), off in zip(leaves, offsets):
-            t0, t1, nfn = _leaf_interval_exprs(lf, P, off,
-                                               ox, oy, oz, dx, dy, dz)
-            t0s.append(t0)
-            t1s.append(t1)
-            normal_fns.append(nfn)
-
-        # all-f32 register state: Mosaic (this toolchain) rejects
-        # select-of-bool chains ("unsupported bitwidth for truncation"),
-        # so the entering flag is carried as 0.0/1.0
-        best_t = jnp.full(ox.shape, _PAD_T, jnp.float32)
-        best_i = jnp.zeros(ox.shape, jnp.float32)        # event index as f32
-        best_after_f = jnp.zeros(ox.shape, jnp.float32)
-        any_c = jnp.zeros(ox.shape, bool)
-        for i in range(2 * L):
-            ti = t0s[i % L] if i < L else t1s[i % L]
-            after_bits = [(t0s[k] <= ti) & (ti < t1s[k]) for k in range(L)]
-            before_bits = [(t0s[k] < ti) & (ti <= t1s[k]) for k in range(L)]
-            after = _fold_tape(plan, leaf_pos, after_bits)
-            before = _fold_tape(plan, leaf_pos, before_bits)
-            cand = (after != before) & (ti >= EPS)
-            better = cand & (ti < best_t)
-            best_t = jnp.where(better, ti, best_t)
-            best_i = jnp.where(better, jnp.float32(i), best_i)
-            best_after_f = jnp.where(better, jnp.where(after, 1.0, 0.0),
-                                     best_after_f)
-            any_c = any_c | cand
-
-        best_after = best_after_f > 0.5
-        escaped = best_t >= MAX_VALUE
-        hit = any_c & ~escaped
-        leaf_idx = jnp.where(best_i >= L, best_i - L, best_i)
-
-        nx = jnp.zeros(ox.shape, jnp.float32)
-        ny = jnp.zeros(ox.shape, jnp.float32)
-        nz = jnp.zeros(ox.shape, jnp.float32)
-        par = jnp.zeros(ox.shape, jnp.float32)
-        for k in range(L):
-            sel = leaf_idx == jnp.float32(k)
-            kx, ky, kz = normal_fns[k](best_t, None)
-            nx = jnp.where(sel, kx, nx)
-            ny = jnp.where(sel, ky, ny)
-            nz = jnp.where(sel, kz, nz)
-            par = jnp.where(sel, jnp.float32(parity_np[k]), par)
-        sign = par * jnp.where(best_after, 1.0, -1.0)
+        best_t, best_i, best_after_f, hit, nx, ny, nz = hit_fold(
+            plan, leaves, offsets, leaf_pos, parity_np, P,
+            ox, oy, oz, dx, dy, dz)
 
         t_ref[...] = jnp.where(hit, best_t, 0.0)
-        nx_ref[...] = nx * sign
-        ny_ref[...] = ny * sign
-        nz_ref[...] = nz * sign
+        nx_ref[...] = nx
+        ny_ref[...] = ny
+        nz_ref[...] = nz
         # flags = hit + 2·entering; evt = float(best event index)
         flags_ref[...] = (jnp.where(hit, 1.0, 0.0)
-                          + jnp.where(best_after, 2.0, 0.0))
+                          + jnp.where(best_after_f > 0.5, 2.0, 0.0))
         leaf_ref[...] = jnp.where(hit, best_i, 0.0)
 
     interpret = jax.default_backend() != "tpu"

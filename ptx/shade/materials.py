@@ -105,21 +105,36 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
 
     from ptx.ops.tableops import table_lookup
 
+    def _slot_val(params, pos, mat_id, s):
+        # table_lookup: gather forward, MXU one-hot-matmul transpose —
+        # the plain gather's scatter-add backward dominated the whole
+        # backward pass (tools/bwd_ablate.py)
+        val = table_lookup(params["const"], const_idx[s][mat_id])
+        for mi, fn in dynamic[s]:
+            dyn = fn(params, pos)
+            val = jnp.where((mat_id == mi)[..., None], dyn, val)
+        return val
+
     def eval_fn(params, pos, mat_id):
-        out = {}
-        for s in SLOTS:
-            # table_lookup: gather forward, MXU one-hot-matmul transpose —
-            # the plain gather's scatter-add backward dominated the whole
-            # backward pass (tools/bwd_ablate.py)
-            val = table_lookup(params["const"], const_idx[s][mat_id])
-            for mi, fn in dynamic[s]:
-                dyn = fn(params, pos)
-                val = jnp.where((mat_id == mi)[..., None], dyn, val)
-            out[s] = val
+        out = {s: _slot_val(params, pos, mat_id, s) for s in SLOTS}
         out["scatter_f"] = jnp.mean(out["scatter"], axis=-1)
         out["transmit_reflect_f"] = jnp.mean(out["transmit_reflect"], axis=-1)
         out["ior"] = table_lookup(params["ior"], mat_id)
         return out
+
+    def eval_emissive(params, pos, mat_id):
+        """Emissive slot only — the fused bounce kernel evaluates every
+        other slot in-SMEM (ptx.ops.bounce_kernel); emission is the one
+        slot that may gather textures and so stays in XLA."""
+        return _slot_val(params, pos, mat_id, "emissive")
+
+    # metadata for the fused bounce kernel's SMEM packing: which const-
+    # table row feeds each (material, slot), and which slots have any
+    # position-dependent (non-packable) textures
+    eval_fn.const_idx = const_idx
+    eval_fn.dynamic_slots = {s: [mi for mi, _ in dynamic[s]] for s in SLOTS}
+    eval_fn.n_materials = M
+    eval_fn.eval_emissive = eval_emissive
 
     return {"ior": iors}, eval_fn
 
