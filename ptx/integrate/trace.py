@@ -78,6 +78,7 @@ class CompiledScene:
     hit_fn: Callable = None     # (params, origin, dir) -> first-hit dict
     hit_replay_fn: Callable = None   # (params, o, d, evt, entering, hit)
     bounce_fn: Callable = None  # fused bounce kernel (ptx.ops.bounce_kernel)
+    bounce_bwd_fn: Callable = None   # fused replay-VJP kernel (same module)
     _manual_bounce: Callable = None  # cached custom-VJP bounce step
 
 
@@ -133,23 +134,26 @@ def compile_scene(root, fast: bool = True,
     # them into SMEM; emission — the one slot that may gather image
     # textures — stays in XLA).  PTX_FUSED=0 forces the unfused path.
     bounce_fn = None
+    bounce_bwd_fn = None
     fused_env = os.environ.get("PTX_FUSED")
     want_fused = (fused_env == "1") or (fused_env is None and pallas)
     if (want_fused and fast and pallas and n_leaves <= kernel_max
             and not any(material_fn.dynamic_slots[s]
                         for s in ("reflect", "scatter", "transmit",
                                   "transmit_reflect"))):
-        from ptx.ops.bounce_kernel import build_bounce_kernel
+        from ptx.ops.bounce_kernel import (build_bounce_bwd_kernel,
+                                           build_bounce_kernel)
         from ptx.geom.fasthit import collect_leaves
         lv = collect_leaves(plan)
         mats_np = [lf.mat_id for lf, _ in lv]
-        bounce_fn = build_bounce_kernel(
-            plan, (material_fn.const_idx, material_fn.n_materials), mats_np)
+        meta = (material_fn.const_idx, material_fn.n_materials)
+        bounce_fn = build_bounce_kernel(plan, meta, mats_np)
+        bounce_bwd_fn = build_bounce_bwd_kernel(plan, meta, mats_np)
     return CompiledScene(params=params, spans_fn=spans_fn,
                          material_fn=material_fn,
                          n_materials=len(ordered_materials), plan=plan,
                          hit_fn=hit_fn, hit_replay_fn=hit_replay_fn,
-                         bounce_fn=bounce_fn)
+                         bounce_fn=bounce_fn, bounce_bwd_fn=bounce_bwd_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +375,10 @@ def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
         "take_transmit": kb["take_transmit"],
         "scatter_alive": kb["scatter_alive"],
         "u_sel": sg(kb["u_sel"]),
+        # saved for the bwd kernel path: the emissive vjp evaluates at
+        # pos = o + t·d with a FROZEN t (d emissive/d pos ≡ 0 through
+        # nearest-texel gathers, so freezing is exact)
+        "t": sg(kb["t"]),
     }
     carry = (sg(kb["o2"]), sg(kb["d2"]), sg(kb["thr2"]),
              sg(kb["strength2"]), kb["alive2"], radiance)
@@ -469,6 +477,7 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
         "take_transmit": sg(take_transmit),
         "scatter_alive": sg(scatter_alive),
         "u_sel": sg(u_sel),
+        "t": sg(hit["t"]),     # see the fused path's note
     }
     return (o2, d2, throughput2, strength2, new_alive, radiance), decisions
 
@@ -564,6 +573,28 @@ def _make_manual_bounce(scene: CompiledScene):
     def bwd(res, ct):
         params, o, d, throughput, strength, alive, dec, k, in_depth = res
         ct_o, ct_d, ct_thr, ct_stg, _ct_alive, ct_rad = ct
+
+        if scene.bounce_bwd_fn is not None:
+            # Fused replay-VJP kernel (ptx.ops.bounce_kernel): carry and
+            # geometry/material-const cotangents in one launch.  XLA keeps
+            # the emissive/radiance term: radiance_add = live·thr⊙em, and
+            # em's pos-gradient is identically zero (nearest-texel
+            # gathers), so evaluating at a frozen pos is exact.
+            sg = jax.lax.stop_gradient
+            live = (alive & dec["hit"])[..., None]
+            pos = sg(o + dec["t"][..., None] * d)
+            em, em_vjp = jax.vjp(
+                lambda p: scene.material_fn.eval_emissive(
+                    p, pos, dec["mat_id"]), params)
+            (d_params_em,) = em_vjp(jnp.where(live, throughput * ct_rad,
+                                              0.0))
+            d_thr_em = jnp.where(live, em * ct_rad, 0.0)
+            d_o, d_d, d_thr, d_params_k = scene.bounce_bwd_fn(
+                params, o, d, throughput, dec, ct_o, ct_d, ct_thr)
+            dparams = jax.tree.map(jnp.add, d_params_k, d_params_em)
+            return (dparams, d_o, d_d, d_thr + d_thr_em,
+                    jnp.zeros_like(strength), _float0_zeros(alive), ct_rad,
+                    _float0_zeros(k), _float0_zeros(in_depth))
 
         def rep(params, o, d, throughput, strength):
             return _bounce_replay(scene, params, o, d, throughput, strength,

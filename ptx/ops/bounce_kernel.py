@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ptx.core.constants import EPS
+from ptx.core.constants import EPS, MAX_VALUE
 from ptx.ops.fasthit_kernel import (_TILE, _TILE_ROWS, _collect_leaves,
                                     _pack_params, hit_fold)
 
@@ -377,3 +377,298 @@ def build_bounce_kernel(plan, material_meta, mats_np):
         }
 
     return bounce_fn
+
+
+# ---------------------------------------------------------------------------
+# fused bounce BACKWARD kernel
+# ---------------------------------------------------------------------------
+# The manual-VJP replay (ptx.integrate.trace._bounce_replay + jax.vjp) pays
+# the same fusion-boundary tax in reverse that the forward paid before the
+# megakernel (~15 ms of a 21.6 ms backward at the bench chunk —
+# tools/bwd_ablate.py).  This kernel computes the whole decision-frozen
+# replay VJP in one launch: the kernel body calls jax.vjp on the per-lane
+# replay math DURING TRACING — the transposed ops are ordinary elementwise
+# jnp and lower to Mosaic like any others — so no hand-derived adjoints.
+#
+# Differentiable primals: the (L, 26) hit-replay leaf rows
+# (ptx.geom.hitreplay.leaf_rows — spheres/planes/composed transforms) and
+# 8 scalars per material (reflect₃ scatter_f transmit₃ ior;
+# transmit_reflect feeds only the stop-gradient strength chain), all in
+# SMEM; their cotangents are reduced per tile and ACCUMULATED across the
+# sequential TPU grid into one SMEM block, then mapped back to the params
+# pytree in XLA via jax.vjp of the packing function.  The emissive /
+# radiance-add term stays in XLA (its pos-gradient is identically zero
+# through nearest-texel gathers; its param term needs the image scatter).
+
+_BMAT_STRIDE = 8
+_ROW = 26
+
+
+def build_bounce_bwd_kernel(plan, material_meta, mats_np):
+    """Returns ``bwd_fn(params, o, d, thr, dec, ct_o2, ct_d2, ct_thr2)``
+    → ``(d_o, d_d, d_thr, d_params_geo_mat)`` for the decision-frozen
+    replay (radiance/emissive term handled by the caller in XLA)."""
+    from ptx.geom import hitreplay
+
+    leaves = _collect_leaves(plan)
+    L = len(leaves)
+    parity_np = np.array([p for _, p in leaves], np.float32)
+    is_sphere_np = np.array([lf.kind == "sphere" for lf, _ in leaves])
+    const_idx, n_materials = material_meta
+    leaf_mat = np.asarray(mats_np, np.int32)
+    P_total = L * _ROW + n_materials * _BMAT_STRIDE
+
+    def pack_bwd(params):
+        rows = hitreplay.leaf_rows(leaves, params).reshape(-1)
+        const = params["const"]
+        rfl = const[const_idx["reflect"]]
+        sc = jnp.mean(const[const_idx["scatter"]], axis=-1)
+        tr = const[const_idx["transmit"]]
+        ior = params["ior"]
+        mat = jnp.concatenate([rfl, sc[:, None], tr, ior[:, None]],
+                              axis=-1).reshape(-1)
+        return jnp.concatenate([rows, mat])
+
+    def kernel(pp_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tx_ref, ty_ref, tz_ref,
+               evt_ref, flags_ref, ux_ref, uy_ref, uz_ref,
+               co_x_ref, co_y_ref, co_z_ref,
+               cd_x_ref, cd_y_ref, cd_z_ref,
+               ct_x_ref, ct_y_ref, ct_z_ref,
+               do_x_ref, do_y_ref, do_z_ref,
+               dd_x_ref, dd_y_ref, dd_z_ref,
+               dt_x_ref, dt_y_ref, dt_z_ref,
+               dp_ref):
+        o = (ox_ref[...], oy_ref[...], oz_ref[...])
+        d = (dx_ref[...], dy_ref[...], dz_ref[...])
+        thr = (tx_ref[...], ty_ref[...], tz_ref[...])
+        evt = evt_ref[...]
+        fl = flags_ref[...]
+        u_sel = (ux_ref[...], uy_ref[...], uz_ref[...])
+        cts = (co_x_ref[...], co_y_ref[...], co_z_ref[...],
+               cd_x_ref[...], cd_y_ref[...], cd_z_ref[...],
+               ct_x_ref[...], ct_y_ref[...], ct_z_ref[...])
+
+        # decode flags (all-f32 carry; see hit_fold note)
+        hit = (fl % 2.0) >= 1.0
+        entering = (fl % 4.0) >= 2.0
+        take_transmit = (fl % 8.0) >= 4.0
+        scatter_alive = (fl % 16.0) >= 8.0
+        leaf_idx = jnp.where(evt >= L, evt - jnp.float32(L), evt)
+        is_start = evt < L
+
+        scals = tuple(pp_ref[0, i] for i in range(P_total))
+
+        def sel_leaf(scal_list, base_of_leaf):
+            """Per-lane one-hot select of a leaf-row scalar."""
+            v = jnp.zeros(evt.shape, jnp.float32)
+            for k in range(L):
+                v = jnp.where(leaf_idx == jnp.float32(k),
+                              scal_list[base_of_leaf(k)], v)
+            return v
+
+        def f(scals, ox, oy, oz, dx, dy, dz, thx, thy, thz):
+            row = [sel_leaf(scals, lambda k, j=j: k * _ROW + j)
+                   for j in range(_ROW)]
+            sph = jnp.zeros(evt.shape, bool)
+            par = jnp.zeros(evt.shape, jnp.float32)
+            for k in range(L):
+                on = leaf_idx == jnp.float32(k)
+                sph = sph | (on & bool(is_sphere_np[k]))
+                par = jnp.where(on, jnp.float32(parity_np[k]), par)
+
+            def msel(j):
+                v = jnp.zeros(evt.shape, jnp.float32)
+                for k in range(L):
+                    v = jnp.where(
+                        leaf_idx == jnp.float32(k),
+                        scals[L * _ROW + int(leaf_mat[k]) * _BMAT_STRIDE + j],
+                        v)
+                return v
+            rfl = (msel(0), msel(1), msel(2))
+            scatter_f = msel(3)
+            tmt = (msel(4), msel(5), msel(6))
+            ior = msel(7)
+
+            # --- selected-boundary recompute (hitreplay.recompute_flat) ---
+            w = row[5:17]
+            nrm = row[17:26]
+            lox = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
+            loy = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
+            loz = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
+            ldx = w[0] * dx + w[1] * dy + w[2] * dz
+            ldy = w[4] * dx + w[5] * dy + w[6] * dz
+            ldz = w[8] * dx + w[9] * dy + w[10] * dz
+
+            ocx, ocy, ocz = lox - row[0], loy - row[1], loz - row[2]
+            r = row[3]
+            a = ldx * ldx + ldy * ldy + ldz * ldz
+            b = ocx * ldx + ocy * ldy + ocz * ldz
+            cc2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc_raw = b * b - a * cc2
+            disc = jnp.where(disc_raw > 1e-12, disc_raw, 1.0)
+            sq = jnp.sqrt(disc)
+            sa = jnp.where(a == 0.0, 1.0, a)
+            t_s = jnp.where(is_start, (-b - sq) / sa, (-b + sq) / sa)
+            inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+            snx = (ocx + t_s * ldx) * inv_r
+            sny = (ocy + t_s * ldy) * inv_r
+            snz = (ocz + t_s * ldz) * inv_r
+
+            pn0, pn1, pn2, pd, pim = row[0], row[1], row[2], row[3], row[4]
+            divisor = ldx * pn0 + ldy * pn1 + ldz * pn2
+            numer = -pd - (lox * pn0 + loy * pn1 + loz * pn2)
+            safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0, divisor)
+            t_p = numer / safe_div
+            pnx, pny, pnz = pn0 * pim, pn1 * pim, pn2 * pim
+
+            t_sel = jnp.where(sph, t_s, t_p)
+            nx0 = jnp.where(sph, snx, pnx)
+            ny0 = jnp.where(sph, sny, pny)
+            nz0 = jnp.where(sph, snz, pnz)
+            sentinel = jnp.abs(t_sel) >= MAX_VALUE
+            t_sel = jnp.where(sentinel, jax.lax.stop_gradient(t_sel), t_sel)
+
+            wx = nrm[0] * nx0 + nrm[1] * ny0 + nrm[2] * nz0
+            wy = nrm[3] * nx0 + nrm[4] * ny0 + nrm[5] * nz0
+            wz = nrm[6] * nx0 + nrm[7] * ny0 + nrm[8] * nz0
+            mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+            inv = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
+            sign = par * jnp.where(entering, 1.0, -1.0)
+            t = jnp.where(hit, t_sel, 0.0)
+            nx = jnp.where(hit, wx * inv * sign, 0.0)
+            ny = jnp.where(hit, wy * inv * sign, 0.0)
+            nz = jnp.where(hit, wz * inv * sign, 1.0)   # unit placeholder
+
+            # --- replay bounce math (trace._bounce_replay, diff parts) ---
+            pos_x, pos_y, pos_z = ox + t * dx, oy + t * dy, oz + t * dz
+            rel_ior = jnp.where(entering, 1.0 / ior, ior)
+
+            nux, nuy, nuz = _normalize3(nx, ny, nz)
+            ix, iy, iz = _normalize3(dx, dy, dz)
+            idn = _dot3(ix, iy, iz, nux, nuy, nuz)
+            arg = 1.0 - rel_ior * rel_ior * (1.0 - idn * idn)
+            n_m2 = _dot3(nx, ny, nz, nx, ny, nz)
+            d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
+            rd_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
+                     & (n_m2 > 0.0) & (d_m2 > 0.0) & (arg >= 0.0))
+            kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
+            rdx0 = rel_ior * ix - kk * nux
+            rdy0 = rel_ior * iy - kk * nuy
+            rdz0 = rel_ior * iz - kk * nuz
+            rdx, rdy, rdz = _normalize3(rdx0, rdy0, rdz0)
+            rdx = jnp.where(rd_ok, rdx, 0.0)
+            rdy = jnp.where(rd_ok, rdy, 0.0)
+            rdz = jnp.where(rd_ok, rdz, 0.0)
+
+            two_idn = 2.0 * _dot3(dx, dy, dz, nux, nuy, nuz)
+            refx = dx - two_idn * nux
+            refy = dy - two_idn * nuy
+            refz = dz - two_idn * nuz
+            sc = jnp.clip(scatter_f, 0.0, 1.0)
+            specular = sc <= EPS
+            safe_sc = jnp.where(specular, 1.0, sc)
+            bias_s = 1.0 / safe_sc - 1.0
+            sdx, sdy, sdz = _normalize3(u_sel[0] + bias_s * refx,
+                                        u_sel[1] + bias_s * refy,
+                                        u_sel[2] + bias_s * refz)
+            scx = jnp.where(specular, refx, sdx)
+            scy = jnp.where(specular, refy, sdy)
+            scz = jnp.where(specular, refz, sdz)
+            factor = 1.0 - (1.0 - _dot3(scx, scy, scz, nx, ny, nz)) * sc
+
+            new_alive = take_transmit | scatter_alive
+            ndx = jnp.where(take_transmit, rdx, scx)
+            ndy = jnp.where(take_transmit, rdy, scy)
+            ndz = jnp.where(take_transmit, rdz, scz)
+            bt0 = jnp.where(take_transmit, tmt[0], factor * rfl[0])
+            bt1 = jnp.where(take_transmit, tmt[1], factor * rfl[1])
+            bt2 = jnp.where(take_transmit, tmt[2], factor * rfl[2])
+
+            o2x = jnp.where(new_alive, pos_x, ox)
+            o2y = jnp.where(new_alive, pos_y, oy)
+            o2z = jnp.where(new_alive, pos_z, oz)
+            d2x = jnp.where(new_alive, ndx, dx)
+            d2y = jnp.where(new_alive, ndy, dy)
+            d2z = jnp.where(new_alive, ndz, dz)
+            t2x = jnp.where(new_alive, thx * bt0, thx)
+            t2y = jnp.where(new_alive, thy * bt1, thy)
+            t2z = jnp.where(new_alive, thz * bt2, thz)
+            return o2x, o2y, o2z, d2x, d2y, d2z, t2x, t2y, t2z
+
+        _, vjp = jax.vjp(f, scals, *o, *d, *thr)
+        (d_scals, d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
+         d_tx, d_ty, d_tz) = vjp(cts)
+
+        do_x_ref[...] = d_ox
+        do_y_ref[...] = d_oy
+        do_z_ref[...] = d_oz
+        dd_x_ref[...] = d_dx
+        dd_y_ref[...] = d_dy
+        dd_z_ref[...] = d_dz
+        dt_x_ref[...] = d_tx
+        dt_y_ref[...] = d_ty
+        dt_z_ref[...] = d_tz
+        # accumulate param cotangents across the sequential grid into the
+        # single shared SMEM block
+        first = pl.program_id(0) == 0
+        for i in range(P_total):
+            prev = jnp.where(first, 0.0, dp_ref[0, i])
+            dp_ref[0, i] = prev + d_scals[i]
+
+    interpret = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def run_kernel(packed, *arrs):
+        n = arrs[0].shape[0]
+        rows = n // 128
+        shape2 = (rows, 128)
+        grid = rows // _TILE_ROWS
+        block = pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((1, P_total), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+                     + [block] * len(arrs),
+            out_specs=[block] * 9
+                      + [pl.BlockSpec((1, P_total), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)],
+            out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 9
+                      + [jax.ShapeDtypeStruct((1, P_total), jnp.float32)],
+            interpret=interpret,
+        )(packed[None, :], *(a.reshape(shape2) for a in arrs))
+        return ([o.reshape(n) for o in outs[:9]], outs[9][0])
+
+    def bwd_fn(params, o, d, thr, dec, ct_o2, ct_d2, ct_thr2):
+        B = o.shape[0]
+        pad = (-B) % _TILE
+
+        def col(a, fill=0.0):
+            if pad:
+                return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+            return a
+        comps = []
+        for arr in (o, d, thr):
+            comps += [col(arr[:, i]) for i in range(3)]
+        flags = (dec["hit"].astype(jnp.float32)
+                 + 2.0 * dec["entering"].astype(jnp.float32)
+                 + 4.0 * dec["take_transmit"].astype(jnp.float32)
+                 + 8.0 * dec["scatter_alive"].astype(jnp.float32))
+        comps += [col(dec["evt"].astype(jnp.float32)), col(flags)]
+        comps += [col(dec["u_sel"][:, i]) for i in range(3)]
+        for arr in (ct_o2, ct_d2, ct_thr2):
+            comps += [col(arr[:, i]) for i in range(3)]
+
+        packed, pack_vjp = jax.vjp(pack_bwd, params)
+        lanes, d_packed = run_kernel(jax.lax.stop_gradient(packed), *comps)
+        cut = lambda a: a[:B]
+        d_o = jnp.stack([cut(lanes[0]), cut(lanes[1]), cut(lanes[2])], -1)
+        d_d = jnp.stack([cut(lanes[3]), cut(lanes[4]), cut(lanes[5])], -1)
+        d_thr = jnp.stack([cut(lanes[6]), cut(lanes[7]), cut(lanes[8])], -1)
+        (d_params,) = pack_vjp(d_packed)
+        return d_o, d_d, d_thr, d_params
+
+    return bwd_fn
