@@ -24,17 +24,21 @@ from ptx.integrate.trace import CompiledScene, trace_rays
 
 
 @partial(jax.jit, static_argnames=("scene", "cam", "rows", "cols", "spp",
-                                   "depth"))
+                                   "depth", "compact"))
 def _render_tile(scene: CompiledScene, params, cam: Camera, key,
-                 x0, y0, cols: int, rows: int, spp: int, depth: int):
+                 x0, y0, cols: int, rows: int, spp: int, depth: int,
+                 compact=None):
     """Render exactly the requested (x0, y0, cols, rows) pixel rectangle of
     the global camera — farm tiles trace only their own pixels (the
     reference's RenderBlock covers an arbitrary block the same way,
-    test.cpp:325-341)."""
+    test.cpp:325-341).  ``compact``: forwarded to trace_rays (the parity
+    harness passes False — per-pixel comparisons need the low-variance
+    estimator; compaction's overflow resampling adds per-pixel variance
+    that is separately validated in tests/test_compaction.py)."""
     ys = y0 + jnp.arange(rows)
     xs = x0 + jnp.arange(cols)
     o, d = sample_rays(cam, key, ys, xs, spp)
-    radiance = trace_rays(scene, params, o, d, key, depth)
+    radiance = trace_rays(scene, params, o, d, key, depth, compact=compact)
     return jnp.mean(radiance, axis=0)          # (rows, cols, 3)
 
 

@@ -204,7 +204,8 @@ def first_hit(sl):
 # scatter direction sampling
 # ---------------------------------------------------------------------------
 
-def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False):
+def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False,
+                       u3=None):
     """Exact (zero-rejection) reference scatter sampling.
 
     The reference draws uniform points in the unit ball, adds
@@ -248,7 +249,8 @@ def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False):
     feasible = c < 1.0
     cc = jnp.clip(c, -1.0, 1.0)
 
-    u3 = jax.random.uniform(key, direction.shape[:-1] + (3,))
+    if u3 is None:
+        u3 = jax.random.uniform(key, direction.shape[:-1] + (3,))
     g = lambda z: z - z * z * z * (1.0 / 3.0)
     G = g(cc) + u3[..., 0] * (g(1.0) - g(cc))
     arg = jnp.clip(-1.5 * G, -1.0, 1.0)
@@ -348,17 +350,21 @@ def _virtual_fanout(strength, add_factor, sc):
 
 
 def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
-                       strength, alive, radiance, k, in_depth):
+                       strength, alive, radiance, k, in_depth,
+                       u_coin=None, u3=None):
     """Fused-kernel live bounce: ONE Pallas launch does hit + shade +
     scatter + carry update (ptx.ops.bounce_kernel); XLA contributes only
-    the threefry draws (bit-identical to the unfused path's) and the
-    emissive texture eval + radiance accumulate.  Decisions dict is
-    identical in meaning to :func:`_bounce_live`'s — the backward replay
-    is shared.  Forward-only (wrapped in the custom VJP); outputs carry
-    no gradient graph."""
+    the threefry draws (bit-identical to the unfused path's; trace_rays
+    precomputes all bounces' draws before the scan so the per-iteration
+    threefry fusion islands disappear) and the emissive texture eval +
+    radiance accumulate.  Decisions dict is identical in meaning to
+    :func:`_bounce_live`'s — the backward replay is shared.  Forward-only
+    (wrapped in the custom VJP); outputs carry no gradient graph."""
     batch_shape = o.shape[:-1]
-    u_coin = jax.random.uniform(rng.fold(k, 1), batch_shape)
-    u3 = jax.random.uniform(rng.fold(k, 2), batch_shape + (3,))
+    if u_coin is None:
+        u_coin = jax.random.uniform(rng.fold(k, 1), batch_shape)
+    if u3 is None:
+        u3 = jax.random.uniform(rng.fold(k, 2), batch_shape + (3,))
     kb = scene.bounce_fn(params, o, d, throughput, strength, alive,
                          u_coin, u3, in_depth)
     live_hit = alive & kb["hit"]
@@ -386,7 +392,8 @@ def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
 
 
 def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
-                 alive, radiance, k, in_depth, use_fused: bool = True):
+                 alive, radiance, k, in_depth, use_fused: bool = True,
+                 u_coin=None, u3=None):
     """One wavefront bounce, live mode: draws RNG, evaluates the first hit
     (Pallas kernel on TPU), makes the stochastic/discrete decisions.
 
@@ -398,10 +405,15 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     ``use_fused=False`` forces the XLA composition even when the scene
     has a fused bounce kernel — required under plain autodiff
     (``trace_rays(manual_vjp=False)``): the kernel is not differentiable.
+
+    ``u_coin``/``u3``: optional precomputed uniforms (the same threefry
+    draws this function would make itself from ``k`` — trace_rays batches
+    them across bounces before the scan).
     """
     if use_fused and scene.bounce_fn is not None:
         return _bounce_live_fused(scene, params, o, d, throughput,
-                                  strength, alive, radiance, k, in_depth)
+                                  strength, alive, radiance, k, in_depth,
+                                  u_coin, u3)
     batch_shape = o.shape[:-1]
 
     if scene.hit_fn is not None:
@@ -430,7 +442,8 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     refr_ok = (refract_factor > EPS) & jnp.any(refr_dir != 0.0, axis=-1)
     p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
 
-    u = jax.random.uniform(rng.fold(k, 1), batch_shape)
+    u = (u_coin if u_coin is not None
+         else jax.random.uniform(rng.fold(k, 1), batch_shape))
     take_transmit = jax.lax.stop_gradient(u < p_transmit) & cont
     add_factor = 1.0 - p_transmit
     # reference: if addFactor < eps the scatter branch is skipped
@@ -441,7 +454,7 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     transmit_tint = m["transmit"]
     # --- scatter branch ---
     scat_dir, scat_ok, u_sel = sample_scatter_dir(
-        rng.fold(k, 2), d, normal, m["scatter_f"], return_raw=True)
+        rng.fold(k, 2), d, normal, m["scatter_f"], return_raw=True, u3=u3)
     sc = jnp.clip(m["scatter_f"], 0.0, 1.0)
     factor = 1.0 - (1.0 - linalg.dot(scat_dir, normal)) * sc
     scatter_alive = scatter_alive & scat_ok
@@ -558,15 +571,19 @@ def _make_manual_bounce(scene: CompiledScene):
 
     @jax.custom_vjp
     def bounce_step(params, o, d, throughput, strength, alive, radiance,
-                    k, in_depth):
+                    k, in_depth, u_coin, u3):
         out, _dec = _bounce_live(scene, params, o, d, throughput, strength,
-                                 alive, radiance, k, in_depth)
+                                 alive, radiance, k, in_depth,
+                                 u_coin=u_coin, u3=u3)
         return out
 
     def fwd(params, o, d, throughput, strength, alive, radiance, k,
-            in_depth):
+            in_depth, u_coin, u3):
         out, dec = _bounce_live(scene, params, o, d, throughput, strength,
-                                alive, radiance, k, in_depth)
+                                alive, radiance, k, in_depth,
+                                u_coin=u_coin, u3=u3)
+        # u_coin/u3 are NOT residuals: the replay consumes the saved
+        # accepted draw u_sel, never the raw uniforms
         return out, (params, o, d, throughput, strength, alive, dec, k,
                      in_depth)
 
@@ -594,7 +611,8 @@ def _make_manual_bounce(scene: CompiledScene):
             dparams = jax.tree.map(jnp.add, d_params_k, d_params_em)
             return (dparams, d_o, d_d, d_thr + d_thr_em,
                     jnp.zeros_like(strength), _float0_zeros(alive), ct_rad,
-                    _float0_zeros(k), _float0_zeros(in_depth))
+                    _float0_zeros(k), _float0_zeros(in_depth),
+                    jnp.zeros_like(strength), jnp.zeros_like(o))
 
         def rep(params, o, d, throughput, strength):
             return _bounce_replay(scene, params, o, d, throughput, strength,
@@ -605,24 +623,35 @@ def _make_manual_bounce(scene: CompiledScene):
             (ct_o, ct_d, ct_thr, ct_stg, ct_rad))
         # radiance2 = radiance + radiance_add ⇒ identity cotangent
         return (dparams, do, dd, dthr, dstg, _float0_zeros(alive), ct_rad,
-                _float0_zeros(k), _float0_zeros(in_depth))
+                _float0_zeros(k), _float0_zeros(in_depth),
+                jnp.zeros_like(strength), jnp.zeros_like(o))
 
     bounce_step.defvjp(fwd, bwd)
     return bounce_step
 
 
-def _compact_wavefront(carry, orig_idx, bank, cap: int):
+def _compact_wavefront(carry, orig_idx, bank, cap: int, key=None):
     """Compact live lanes into a ``cap``-wide wavefront (dead-lane
     compaction, the TPU way: static shapes, no data-dependent dispatch).
 
     Live lanes are packed to the front via a prefix-sum scatter with a
     drop slot.  If more than ``cap`` lanes are alive, *systematic
     resampling* keeps exactly ``cap`` of them, evenly spaced in lane
-    order, and boosts surviving throughput by ``n/cap`` — the unbiased
-    particle-filter estimator (future contributions are reweighted; past
-    contributions were already banked).  Every lane's accumulated
-    radiance is banked into the full-width accumulator (indexed by
-    original lane) and the compacted radiance restarts at zero.
+    order WITH A RANDOM PHASE OFFSET, and boosts surviving throughput by
+    ``n/cap`` — the unbiased particle-filter estimator (future
+    contributions are reweighted; past contributions were already
+    banked).  The random offset is load-bearing for PER-PIXEL
+    unbiasedness: without it the evenly-spaced keep pattern is a
+    deterministic function of the alive mask, which repeats across
+    samples and chunks, so the SAME pixels lose their post-compaction
+    light in every sample — measured as 2-pixel-period bright/dark
+    stripes through the demo lens (tools/parity_vs_reference.py block
+    (560, 524): survivors boosted ~2×, dropped pixels near-black, block
+    mean exactly right).  With the offset the kept subset varies per
+    (key, phase) and the per-pixel expectation is restored.  Every
+    lane's accumulated radiance is banked into the full-width
+    accumulator (indexed by original lane) and the compacted radiance
+    restarts at zero.
 
     All selection state is integer/boolean (stop-gradient by nature);
     gather/scatter transposes are cheap and exact in reverse mode.
@@ -640,8 +669,14 @@ def _compact_wavefront(carry, orig_idx, bank, cap: int):
     n_safe = jnp.maximum(n, 1)
     ncap = jnp.minimum(n_safe, cap)
     ranks = jnp.cumsum(alive_i)                      # 1-based among alive
-    lo = ((ranks - 1) * ncap) // n_safe
-    hi = (ranks * ncap) // n_safe
+    if key is not None:
+        u = jax.random.uniform(key, ())
+        off = jnp.floor(u * n_safe.astype(jnp.float32)).astype(jnp.int32)
+        off = jnp.clip(off, 0, n_safe - 1)           # phase ∈ [0, n)
+    else:
+        off = jnp.int32(0)
+    lo = ((ranks - 1) * ncap + off) // n_safe
+    hi = (ranks * ncap + off) // n_safe
     keep = alive & (hi > lo)                         # exactly min(n, cap)
     w = jnp.where(n > cap, n_safe.astype(jnp.float32) / cap, 1.0)
 
@@ -715,12 +750,26 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             scene._manual_bounce = _make_manual_bounce(scene)
         bounce_step = scene._manual_bounce
 
-        def bounce(carry, bounce_idx):
+        def bounce(carry, xs):
+            bounce_idx, u_coin, u3 = xs
             o, d, throughput, strength, alive, radiance = carry
             k = rng.fold(key, bounce_idx)
             out = bounce_step(params, o, d, throughput, strength, alive,
-                              radiance, k, bounce_idx < depth)
+                              radiance, k, bounce_idx < depth, u_coin, u3)
             return out, None
+
+        def phase_xs(start, end, width):
+            """All of a phase's threefry draws in one pre-scan region —
+            the same values the bounce would draw itself (fold(key, b)
+            then streams 1 and 2), batched so the scan body contains no
+            threefry fusion islands (bit-identical output)."""
+            ks = [rng.fold(key, b) for b in range(start, end)]
+            u_coins = jnp.stack([
+                jax.random.uniform(rng.fold(kb, 1), (width,)) for kb in ks])
+            u3s = jnp.stack([
+                jax.random.uniform(rng.fold(kb, 2), (width, 3))
+                for kb in ks])
+            return (jnp.arange(start, end), u_coins, u3s)
     else:
         def bounce(carry, bounce_idx):
             o, d, throughput, strength, alive, radiance = carry
@@ -756,9 +805,11 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         end = phases[pi + 1][0] if pi + 1 < len(phases) else depth + 1
         if pi > 0:
             carry, orig_idx, bank = _compact_wavefront(
-                carry, orig_idx, bank, B // div)
-        carry, _ = jax.lax.scan(bounce, carry,
-                                jnp.arange(start, end))
+                carry, orig_idx, bank, B // div,
+                key=rng.fold(key, 0x00C0, pi))
+        xs = (phase_xs(start, end, B // div) if manual_vjp
+              else jnp.arange(start, end))
+        carry, _ = jax.lax.scan(bounce, carry, xs)
     radiance = carry[5]
     if len(phases) > 1:
         B0 = bank.shape[0]

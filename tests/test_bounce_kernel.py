@@ -98,10 +98,13 @@ def test_fused_forward_gradients_match_autodiff(fused_scene):
     thr0, st0, al0, rad0 = _init(B)
     w = jnp.array([0.3, 1.1, 0.6])
     bs = tr._make_manual_bounce(scene)
+    from ptx.core import rng as prng
+    u_coin = jax.random.uniform(prng.fold(k, 1), (B,))
+    u3 = jax.random.uniform(prng.fold(k, 2), (B, 3))
 
     def loss_manual(params):
         o2, d2, thr2, st2, al2, rad = bs(params, o, d, thr0, st0, al0,
-                                         rad0, k, True)
+                                         rad0, k, True, u_coin, u3)
         # touch radiance AND the differentiable continuation state
         return (jnp.sum(rad * w) + 1e-3 * jnp.sum(thr2)
                 + 1e-4 * jnp.sum(d2 * d2))

@@ -62,6 +62,36 @@ def test_compaction_overflow_resampling_unbiased(setup, monkeypatch):
     assert on == pytest.approx(off, rel=0.04)
 
 
+def test_resampling_offset_varies_kept_subset():
+    """Overflow resampling must randomize its phase.  Without the random
+    offset the evenly-spaced keep pattern is a deterministic function of
+    the alive mask — the SAME lanes lose their post-compaction light in
+    every sample/chunk, which showed up as 2-pixel-period bright/dark
+    stripes through the demo lens (parity block (560, 524)): per-pixel
+    bias with an exactly-correct block mean."""
+    B, cap, T = 1024, 128, 24
+    alive = (jnp.arange(B) % 2) == 0               # 512 alive > cap
+    d0 = jnp.zeros((B, 3)).at[:, 2].set(-1.0)
+    carry = (jnp.zeros((B, 3)), d0, jnp.ones((B, 3)), jnp.ones(B),
+             alive, jnp.zeros((B, 3)))
+    orig = jnp.arange(B, dtype=jnp.int32)
+    bank = jnp.zeros((B, 3))
+    counts = np.zeros(B)
+    for s in range(T):
+        _, new_orig, _ = tr._compact_wavefront(
+            carry, orig, bank, cap, key=jax.random.PRNGKey(s))
+        kept = np.asarray(new_orig)
+        kept = kept[kept < B]
+        assert len(kept) == cap
+        counts[kept] += 1
+    alive_np = np.asarray(alive)
+    assert counts[~alive_np].sum() == 0            # only alive lanes kept
+    # deterministic phase ⇒ counts ∈ {0, T}; randomized ⇒ spread near
+    # the per-lane expectation T·cap/n = 6
+    assert (counts == T).sum() == 0
+    assert abs(counts[alive_np].mean() - T * cap / 512) < 1.0
+
+
 def test_compaction_finite_gradients(setup):
     scene, o, d, key = setup
 
