@@ -704,10 +704,13 @@ def _compact_wavefront(carry, orig_idx, bank, cap: int, key=None):
 # Default compaction schedule: (start_bounce, width_divisor).  Measured on
 # the demo scene (512², depth 16): alive lanes fall to ~29% after the
 # primary+first bounce and below 2% by bounce 6, so later phases run at
-# 1/2 and 1/8 width — ~3× fewer evaluated segments with identical
-# expectation (systematic-resampling overflow keeps it unbiased even for
-# scenes where more survive).
-_COMPACT_SCHEDULE = ((2, 2), (6, 8))
+# 1/3 and 1/16 width — fewer evaluated segments with identical
+# expectation (randomized systematic-resampling overflow keeps it
+# unbiased even for scenes where more survive).  Chosen by sweep with an
+# equal-spp RMSE guard (round 2, post-fused-kernels): (2,3),(6,16) is
+# 23% faster than (2,2),(6,8) at bit-identical RMSE; (2,4) is a further
+# 8% but costs +3% RMSE (resampling variance) — rejected.
+_COMPACT_SCHEDULE = ((2, 3), (6, 16))
 _COMPACT_MIN_BATCH = 16384
 
 
