@@ -1,5 +1,12 @@
 """Backward-cost ablation: which part of the manual-VJP replay dominates?
 
+NOTE (round 2): scenes with the fused backward kernel
+(scene.bounce_bwd_fn, ptx.ops.bounce_kernel) BYPASS _bounce_replay in
+the manual VJP, so the replay-patching modes below only ablate the
+fallback XLA path — run with PTX_FUSED=0 for meaningful numbers, or use
+the eval_emissive stop-grad probes (see git history /tmp scripts) for
+the fused path.
+
 Times fwd+bwd at the bench shape with parts of the replay's gradient paths
 severed (stop_gradient), isolating: geometry recompute (hit replay),
 material/texture eval, and the throughput chain.  Informs the roofline

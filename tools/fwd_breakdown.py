@@ -4,6 +4,12 @@ Times the full uncompacted forward at B=131k/depth 16 against ablated
 variants to locate where non-kernel time goes: scatter-RNG draws
 (SCATTER_TRIES), material evaluation, everything-but-hit.  Feeds
 docs/perf_roofline.md.
+
+
+NOTE (round 2): with the fused bounce kernel active the
+const_material / tries / sampler patches only affect the
+UNFUSED path — set PTX_FUSED=0 to ablate the XLA composition,
+or read docs/perf_roofline.md for the fused-path breakdown.
 """
 
 import json
