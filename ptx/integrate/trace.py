@@ -350,14 +350,17 @@ def _virtual_fanout(strength, add_factor, sc):
 
 
 def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
-                       strength, alive, radiance, k, in_depth,
+                       strength, alive, k, in_depth,
                        u_coin=None, u3=None):
     """Fused-kernel live bounce: ONE Pallas launch does hit + shade +
     scatter + carry update (ptx.ops.bounce_kernel); XLA contributes only
     the threefry draws (bit-identical to the unfused path's; trace_rays
     precomputes all bounces' draws before the scan so the per-iteration
-    threefry fusion islands disappear) and the emissive texture eval +
-    radiance accumulate.  Decisions dict is identical in meaning to
+    threefry fusion islands disappear).  Emission/radiance is NOT part of
+    the bounce: radiance never feeds the continuation, so trace_rays
+    evaluates the emissive chain post-scan over the whole phase at once
+    (one batched texture fusion + ONE image-gradient scatter per phase
+    instead of per bounce).  Decisions dict is identical in meaning to
     :func:`_bounce_live`'s — the backward replay is shared.  Forward-only
     (wrapped in the custom VJP); outputs carry no gradient graph."""
     batch_shape = o.shape[:-1]
@@ -367,11 +370,6 @@ def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
         u3 = jax.random.uniform(rng.fold(k, 2), batch_shape + (3,))
     kb = scene.bounce_fn(params, o, d, throughput, strength, alive,
                          u_coin, u3, in_depth)
-    live_hit = alive & kb["hit"]
-    pos = o + kb["t"][..., None] * d
-    emissive = scene.material_fn.eval_emissive(params, pos, kb["mat_id"])
-    radiance = radiance + jnp.where(live_hit[..., None],
-                                    throughput * emissive, 0.0)
     sg = jax.lax.stop_gradient
     decisions = {
         "evt": kb["evt"],
@@ -381,18 +379,18 @@ def _bounce_live_fused(scene: CompiledScene, params, o, d, throughput,
         "take_transmit": kb["take_transmit"],
         "scatter_alive": kb["scatter_alive"],
         "u_sel": sg(kb["u_sel"]),
-        # saved for the bwd kernel path: the emissive vjp evaluates at
-        # pos = o + t·d with a FROZEN t (d emissive/d pos ≡ 0 through
-        # nearest-texel gathers, so freezing is exact)
+        # the post-scan emissive eval point: pos = o + t·d with a FROZEN
+        # t (d emissive/d pos ≡ 0 through nearest-texel gathers, so
+        # freezing is exact)
         "t": sg(kb["t"]),
     }
     carry = (sg(kb["o2"]), sg(kb["d2"]), sg(kb["thr2"]),
-             sg(kb["strength2"]), kb["alive2"], radiance)
+             sg(kb["strength2"]), kb["alive2"])
     return carry, decisions
 
 
 def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
-                 alive, radiance, k, in_depth, use_fused: bool = True,
+                 alive, k, in_depth, use_fused: bool = True,
                  u_coin=None, u3=None):
     """One wavefront bounce, live mode: draws RNG, evaluates the first hit
     (Pallas kernel on TPU), makes the stochastic/discrete decisions.
@@ -400,7 +398,9 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     Returns ``(new_carry, decisions)``; decisions are everything the
     backward replay needs that is either random (branch coin, selected
     scatter draw) or expensive to recompute (the winning hit event) — all
-    stop-gradient by construction.
+    stop-gradient by construction.  Radiance is NOT accumulated here:
+    emission never feeds the continuation, so trace_rays evaluates it
+    post-scan for a whole phase at once (see _bounce_live_fused's note).
 
     ``use_fused=False`` forces the XLA composition even when the scene
     has a fused bounce kernel — required under plain autodiff
@@ -412,7 +412,7 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
     """
     if use_fused and scene.bounce_fn is not None:
         return _bounce_live_fused(scene, params, o, d, throughput,
-                                  strength, alive, radiance, k, in_depth,
+                                  strength, alive, k, in_depth,
                                   u_coin, u3)
     batch_shape = o.shape[:-1]
 
@@ -424,9 +424,6 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
 
     pos = o + hit["t"][..., None] * d
     m = scene.material_fn(params, pos, hit["mat_id"])
-
-    radiance = radiance + jnp.where(
-        live_hit[..., None], throughput * m["emissive"], 0.0)
 
     # Continuation gate: depth remaining and strength above threshold
     # (path-trace.h:105).  The final scan step (in_depth False) is the
@@ -492,7 +489,7 @@ def _bounce_live(scene: CompiledScene, params, o, d, throughput, strength,
         "u_sel": sg(u_sel),
         "t": sg(hit["t"]),     # see the fused path's note
     }
-    return (o2, d2, throughput2, strength2, new_alive, radiance), decisions
+    return (o2, d2, throughput2, strength2, new_alive), decisions
 
 
 def _bounce_replay(scene: CompiledScene, params, o, d, throughput, strength,
@@ -501,9 +498,11 @@ def _bounce_replay(scene: CompiledScene, params, o, d, throughput, strength,
     with every stochastic draw and discrete selection taken from ``dec``.
     The first hit collapses to the O(1) selected-boundary recompute
     (ptx.geom.hitreplay) — no 2L·L candidate fold in the backward graph.
+    Emission is not replayed (radiance lives post-scan in trace_rays and
+    is differentiated by plain autodiff there).
 
-    Returns ``(o2, d2, throughput2, strength2, radiance_add)``; the caller
-    pulls cotangents through this with ``jax.vjp``.
+    Returns ``(o2, d2, throughput2, strength2)``; the caller pulls
+    cotangents through this with ``jax.vjp``.
     """
     t, normal = scene.hit_replay_fn(params, o, d, dec["evt"],
                                     dec["entering"], dec["hit"])
@@ -511,9 +510,6 @@ def _bounce_replay(scene: CompiledScene, params, o, d, throughput, strength,
 
     pos = o + t[..., None] * d
     m = scene.material_fn(params, pos, dec["mat_id"])
-
-    radiance_add = jnp.where(live_hit[..., None],
-                             throughput * m["emissive"], 0.0)
 
     rel_ior = jnp.where(dec["entering"], 1.0 / m["ior"], m["ior"])
     trc = jnp.clip(m["transmit_reflect_f"], 0.0, 1.0)
@@ -554,7 +550,7 @@ def _bounce_replay(scene: CompiledScene, params, o, d, throughput, strength,
     throughput2 = jnp.where(new_alive[..., None], new_throughput, throughput)
     strength2 = jax.lax.stop_gradient(
         jnp.where(new_alive, new_strength, strength))
-    return o2, d2, throughput2, strength2, radiance_add
+    return o2, d2, throughput2, strength2
 
 
 def _float0_zeros(x):
@@ -569,48 +565,48 @@ def _make_manual_bounce(scene: CompiledScene):
     fused elementwise graph — this is what closes the round-1 6.4×
     forward↔backward gap (VERDICT #1)."""
 
-    @jax.custom_vjp
-    def bounce_step(params, o, d, throughput, strength, alive, radiance,
-                    k, in_depth, u_coin, u3):
-        out, _dec = _bounce_live(scene, params, o, d, throughput, strength,
-                                 alive, radiance, k, in_depth,
-                                 u_coin=u_coin, u3=u3)
-        return out
+    def _ys(o, d, throughput, alive, dec):
+        """Per-bounce emission inputs for the post-scan radiance sum:
+        (pos, mat_id, live, thr).  pos is built from the FROZEN t and
+        carries no gradient (d emissive/d pos ≡ 0 through nearest-texel
+        gathers); thr is the bounce-input throughput (identity — its ys
+        cotangent adds straight to the thr input cotangent)."""
+        sg = jax.lax.stop_gradient
+        pos = sg(o + dec["t"][..., None] * d)
+        return (pos, dec["mat_id"], alive & dec["hit"], throughput)
 
-    def fwd(params, o, d, throughput, strength, alive, radiance, k,
+    @jax.custom_vjp
+    def bounce_step(params, o, d, throughput, strength, alive,
+                    k, in_depth, u_coin, u3):
+        out, dec = _bounce_live(scene, params, o, d, throughput, strength,
+                                alive, k, in_depth, u_coin=u_coin, u3=u3)
+        return out, _ys(o, d, throughput, alive, dec)
+
+    def fwd(params, o, d, throughput, strength, alive, k,
             in_depth, u_coin, u3):
         out, dec = _bounce_live(scene, params, o, d, throughput, strength,
-                                alive, radiance, k, in_depth,
-                                u_coin=u_coin, u3=u3)
+                                alive, k, in_depth, u_coin=u_coin, u3=u3)
         # u_coin/u3 are NOT residuals: the replay consumes the saved
         # accepted draw u_sel, never the raw uniforms
-        return out, (params, o, d, throughput, strength, alive, dec, k,
-                     in_depth)
+        return (out, _ys(o, d, throughput, alive, dec)), (
+            params, o, d, throughput, strength, alive, dec, k, in_depth)
 
     def bwd(res, ct):
         params, o, d, throughput, strength, alive, dec, k, in_depth = res
-        ct_o, ct_d, ct_thr, ct_stg, _ct_alive, ct_rad = ct
+        (ct_o, ct_d, ct_thr, ct_stg, _ct_alive), ct_ys = ct
+        # ys cotangents: pos is declared gradient-free (exact — see _ys);
+        # thr is an identity output so its cotangent adds directly
+        ct_thr_ys = ct_ys[3]
 
         if scene.bounce_bwd_fn is not None:
             # Fused replay-VJP kernel (ptx.ops.bounce_kernel): carry and
-            # geometry/material-const cotangents in one launch.  XLA keeps
-            # the emissive/radiance term: radiance_add = live·thr⊙em, and
-            # em's pos-gradient is identically zero (nearest-texel
-            # gathers), so evaluating at a frozen pos is exact.
-            sg = jax.lax.stop_gradient
-            live = (alive & dec["hit"])[..., None]
-            pos = sg(o + dec["t"][..., None] * d)
-            em, em_vjp = jax.vjp(
-                lambda p: scene.material_fn.eval_emissive(
-                    p, pos, dec["mat_id"]), params)
-            (d_params_em,) = em_vjp(jnp.where(live, throughput * ct_rad,
-                                              0.0))
-            d_thr_em = jnp.where(live, em * ct_rad, 0.0)
+            # geometry/material-const cotangents in one launch.  The
+            # emissive/radiance term lives post-scan in trace_rays and is
+            # differentiated by plain autodiff there.
             d_o, d_d, d_thr, d_params_k = scene.bounce_bwd_fn(
                 params, o, d, throughput, dec, ct_o, ct_d, ct_thr)
-            dparams = jax.tree.map(jnp.add, d_params_k, d_params_em)
-            return (dparams, d_o, d_d, d_thr + d_thr_em,
-                    jnp.zeros_like(strength), _float0_zeros(alive), ct_rad,
+            return (d_params_k, d_o, d_d, d_thr + ct_thr_ys,
+                    jnp.zeros_like(strength), _float0_zeros(alive),
                     _float0_zeros(k), _float0_zeros(in_depth),
                     jnp.zeros_like(strength), jnp.zeros_like(o))
 
@@ -619,10 +615,9 @@ def _make_manual_bounce(scene: CompiledScene):
                                   alive, dec)
 
         _, vjp = jax.vjp(rep, params, o, d, throughput, strength)
-        dparams, do, dd, dthr, dstg = vjp(
-            (ct_o, ct_d, ct_thr, ct_stg, ct_rad))
-        # radiance2 = radiance + radiance_add ⇒ identity cotangent
-        return (dparams, do, dd, dthr, dstg, _float0_zeros(alive), ct_rad,
+        dparams, do, dd, dthr, dstg = vjp((ct_o, ct_d, ct_thr, ct_stg))
+        return (dparams, do, dd, dthr + ct_thr_ys, dstg,
+                _float0_zeros(alive),
                 _float0_zeros(k), _float0_zeros(in_depth),
                 jnp.zeros_like(strength), jnp.zeros_like(o))
 
@@ -630,7 +625,7 @@ def _make_manual_bounce(scene: CompiledScene):
     return bounce_step
 
 
-def _compact_wavefront(carry, orig_idx, bank, cap: int, key=None):
+def _compact_wavefront(carry, orig_idx, cap: int, key=None):
     """Compact live lanes into a ``cap``-wide wavefront (dead-lane
     compaction, the TPU way: static shapes, no data-dependent dispatch).
 
@@ -648,21 +643,14 @@ def _compact_wavefront(carry, orig_idx, bank, cap: int, key=None):
     stripes through the demo lens (tools/parity_vs_reference.py block
     (560, 524): survivors boosted ~2×, dropped pixels near-black, block
     mean exactly right).  With the offset the kept subset varies per
-    (key, phase) and the per-pixel expectation is restored.  Every
-    lane's accumulated radiance is banked into the full-width
-    accumulator (indexed by original lane) and the compacted radiance
-    restarts at zero.
+    (key, phase) and the per-pixel expectation is restored.  (Radiance is
+    not part of the carry — trace_rays accumulates each phase's emission
+    post-scan, indexed by ``orig_idx``.)
 
     All selection state is integer/boolean (stop-gradient by nature);
     gather/scatter transposes are cheap and exact in reverse mode.
     """
-    o, d, throughput, strength, alive, radiance = carry
-    B = alive.shape[0]
-
-    # bank this phase's radiance at original lane indices (drop slot = B0)
-    B0 = bank.shape[0]
-    bank = bank.at[jnp.clip(orig_idx, 0, B0 - 1)].add(
-        jnp.where((orig_idx < B0)[..., None], radiance, 0.0))
+    o, d, throughput, strength, alive = carry
 
     alive_i = alive.astype(jnp.int32)
     n = jnp.sum(alive_i)
@@ -695,10 +683,11 @@ def _compact_wavefront(carry, orig_idx, bank, cap: int, key=None):
         scat(throughput * w, 0.0),
         scat(strength, 0.0),
         scat(alive, False),
-        jnp.zeros((cap, 3), jnp.float32),
     )
-    new_orig = scat(orig_idx, jnp.int32(B0))         # sentinel = drop
-    return new_carry, new_orig, bank
+    # drop sentinel: any value ≥ the ORIGINAL width (orig_idx shrinks
+    # per phase, so its own length is NOT safe as a sentinel)
+    new_orig = scat(orig_idx, jnp.int32(2 ** 31 - 1))
+    return new_carry, new_orig
 
 
 # Default compaction schedule: (start_bounce, width_divisor).  Measured on
@@ -755,11 +744,11 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
 
         def bounce(carry, xs):
             bounce_idx, u_coin, u3 = xs
-            o, d, throughput, strength, alive, radiance = carry
+            o, d, throughput, strength, alive = carry
             k = rng.fold(key, bounce_idx)
-            out = bounce_step(params, o, d, throughput, strength, alive,
-                              radiance, k, bounce_idx < depth, u_coin, u3)
-            return out, None
+            out, ys = bounce_step(params, o, d, throughput, strength, alive,
+                                  k, bounce_idx < depth, u_coin, u3)
+            return out, ys
 
         def phase_xs(start, end, width):
             """All of a phase's threefry draws in one pre-scan region —
@@ -775,12 +764,14 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             return (jnp.arange(start, end), u_coins, u3s)
     else:
         def bounce(carry, bounce_idx):
-            o, d, throughput, strength, alive, radiance = carry
+            o, d, throughput, strength, alive = carry
             k = rng.fold(key, bounce_idx)
-            out, _dec = _bounce_live(scene, params, o, d, throughput,
-                                     strength, alive, radiance, k,
-                                     bounce_idx < depth, use_fused=False)
-            return out, None
+            out, dec = _bounce_live(scene, params, o, d, throughput,
+                                    strength, alive, k,
+                                    bounce_idx < depth, use_fused=False)
+            ys = (jax.lax.stop_gradient(o + dec["t"][..., None] * d),
+                  dec["mat_id"], alive & dec["hit"], throughput)
+            return out, ys
         if remat:
             bounce = jax.checkpoint(bounce)  # O(1) residuals/bounce
 
@@ -791,7 +782,6 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         jnp.ones((B, 3), jnp.float32),
         jnp.ones((B,), jnp.float32),
         jnp.ones((B,), bool),
-        jnp.zeros((B, 3), jnp.float32),
     )
 
     if compact is None:
@@ -801,22 +791,35 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         phases += [(s, dv) for s, dv in _COMPACT_SCHEDULE
                    if s <= depth and B // dv >= 1]
 
+    def phase_radiance(ys):
+        """Sum a phase's emission from its stacked per-bounce ys
+        (pos, mat_id, live, thr) — ONE batched texture fusion (and, in
+        reverse mode, ONE image-gradient scatter) for the whole phase
+        instead of per bounce.  Plain autodiff handles the emissive
+        parameter gradients here; the bounce custom-VJP never sees them."""
+        pos, mid, live, thr = ys
+        nb, Bp = mid.shape
+        em = scene.material_fn.eval_emissive(
+            params, pos.reshape(nb * Bp, 3), mid.reshape(-1))
+        em = em.reshape(nb, Bp, 3)
+        return jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
+
     carry = init
     orig_idx = jnp.arange(B, dtype=jnp.int32)
-    bank = jnp.zeros((B, 3), jnp.float32)
+    radiance = jnp.zeros((B, 3), jnp.float32)
     for pi, (start, div) in enumerate(phases):
         end = phases[pi + 1][0] if pi + 1 < len(phases) else depth + 1
         if pi > 0:
-            carry, orig_idx, bank = _compact_wavefront(
-                carry, orig_idx, bank, B // div,
+            carry, orig_idx = _compact_wavefront(
+                carry, orig_idx, B // div,
                 key=rng.fold(key, 0x00C0, pi))
         xs = (phase_xs(start, end, B // div) if manual_vjp
               else jnp.arange(start, end))
-        carry, _ = jax.lax.scan(bounce, carry, xs)
-    radiance = carry[5]
-    if len(phases) > 1:
-        B0 = bank.shape[0]
-        bank = bank.at[jnp.clip(orig_idx, 0, B0 - 1)].add(
-            jnp.where((orig_idx < B0)[..., None], radiance, 0.0))
-        radiance = bank
+        carry, ys = jax.lax.scan(bounce, carry, xs)
+        contrib = phase_radiance(ys)
+        if pi == 0:
+            radiance = radiance + contrib
+        else:
+            radiance = radiance.at[jnp.clip(orig_idx, 0, B - 1)].add(
+                jnp.where((orig_idx < B)[..., None], contrib, 0.0))
     return radiance.reshape(batch_shape + (3,))

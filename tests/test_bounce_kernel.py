@@ -42,16 +42,15 @@ def _rays(B, seed=0):
 
 
 def _init(B):
-    return (jnp.ones((B, 3)), jnp.ones(B), jnp.ones(B, bool),
-            jnp.zeros((B, 3)))
+    return (jnp.ones((B, 3)), jnp.ones(B), jnp.ones(B, bool))
 
 
 def _chain(scene, o, d, keys, use_fused):
     """Hand-rolled two-bounce composition (no scan — interpret-mode
     pallas in a scan is prohibitively slow on CPU)."""
-    thr, st, al, rad = _init(o.shape[0])
+    thr, st, al = _init(o.shape[0])
     decs = []
-    carry = (o, d, thr, st, al, rad)
+    carry = (o, d, thr, st, al)
     for k in keys:
         carry, dec = tr._bounce_live(scene, scene.params, *carry, k, True,
                                      use_fused=use_fused)
@@ -67,8 +66,8 @@ def test_fused_bounce_matches_unfused(fused_scene):
 
     cf, df = _chain(scene, o, d, keys, use_fused=True)
     cu, du = _chain(scene, o, d, keys, use_fused=False)
-    for name, a, b in zip(("o2", "d2", "thr2", "strength2", "alive2",
-                           "radiance"), cf, cu):
+    for name, a, b in zip(("o2", "d2", "thr2", "strength2", "alive2"),
+                          cf, cu):
         a, b = np.asarray(a), np.asarray(b)
         if a.dtype == bool:
             assert (a == b).all(), name
@@ -95,25 +94,33 @@ def test_fused_forward_gradients_match_autodiff(fused_scene):
     B = 128
     o, d = _rays(B, seed=5)
     k = jax.random.PRNGKey(2)
-    thr0, st0, al0, rad0 = _init(B)
+    thr0, st0, al0 = _init(B)
     w = jnp.array([0.3, 1.1, 0.6])
     bs = tr._make_manual_bounce(scene)
     from ptx.core import rng as prng
     u_coin = jax.random.uniform(prng.fold(k, 1), (B,))
     u3 = jax.random.uniform(prng.fold(k, 2), (B, 3))
 
+    def em_term(params, ys):
+        # the post-scan emission sum trace_rays builds from the ys
+        pos, mid, live, thr = ys
+        em = scene.material_fn.eval_emissive(params, pos, mid)
+        return jnp.sum(jnp.where(live[..., None], thr * em, 0.0) * w)
+
     def loss_manual(params):
-        o2, d2, thr2, st2, al2, rad = bs(params, o, d, thr0, st0, al0,
-                                         rad0, k, True, u_coin, u3)
-        # touch radiance AND the differentiable continuation state
-        return (jnp.sum(rad * w) + 1e-3 * jnp.sum(thr2)
+        (o2, d2, thr2, st2, al2), ys = bs(params, o, d, thr0, st0, al0,
+                                          k, True, u_coin, u3)
+        # touch emission AND the differentiable continuation state
+        return (em_term(params, ys) + 1e-3 * jnp.sum(thr2)
                 + 1e-4 * jnp.sum(d2 * d2))
 
     def loss_auto(params):
-        (o2, d2, thr2, st2, al2, rad), _ = tr._bounce_live(
-            scene, params, o, d, thr0, st0, al0, rad0, k, True,
+        (o2, d2, thr2, st2, al2), dec = tr._bounce_live(
+            scene, params, o, d, thr0, st0, al0, k, True,
             use_fused=False)
-        return (jnp.sum(rad * w) + 1e-3 * jnp.sum(thr2)
+        ys = (jax.lax.stop_gradient(o + dec["t"][..., None] * d),
+              dec["mat_id"], al0 & dec["hit"], thr0)
+        return (em_term(params, ys) + 1e-3 * jnp.sum(thr2)
                 + 1e-4 * jnp.sum(d2 * d2))
 
     gm = jax.grad(loss_manual)(scene.params)

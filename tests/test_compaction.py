@@ -72,14 +72,12 @@ def test_resampling_offset_varies_kept_subset():
     B, cap, T = 1024, 128, 24
     alive = (jnp.arange(B) % 2) == 0               # 512 alive > cap
     d0 = jnp.zeros((B, 3)).at[:, 2].set(-1.0)
-    carry = (jnp.zeros((B, 3)), d0, jnp.ones((B, 3)), jnp.ones(B),
-             alive, jnp.zeros((B, 3)))
+    carry = (jnp.zeros((B, 3)), d0, jnp.ones((B, 3)), jnp.ones(B), alive)
     orig = jnp.arange(B, dtype=jnp.int32)
-    bank = jnp.zeros((B, 3))
     counts = np.zeros(B)
     for s in range(T):
-        _, new_orig, _ = tr._compact_wavefront(
-            carry, orig, bank, cap, key=jax.random.PRNGKey(s))
+        _, new_orig = tr._compact_wavefront(
+            carry, orig, cap, key=jax.random.PRNGKey(s))
         kept = np.asarray(new_orig)
         kept = kept[kept < B]
         assert len(kept) == cap
