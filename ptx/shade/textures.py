@@ -209,14 +209,20 @@ class TextureCompiler:
 
 def _get_pixel(img, xi, yi, alpha: bool):
     """Bounds-checked nearest lookup; outside → black / alpha 0
-    (image.cpp:366-396).  Returns (..., 3); alpha broadcast to gray."""
+    (image.cpp:366-396).  Returns (..., 3); alpha broadcast to gray.
+
+    The gather goes through ptx.ops.imagegrad.image_gather so its
+    transpose is the MXU histogram kernel instead of a TPU scatter-add
+    (the dominant backward cost once everything else was fused —
+    tools/step_breakdown.py)."""
+    from ptx.ops.imagegrad import image_gather
+
     h, w = img.shape[0], img.shape[1]
     inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
     xc = jnp.clip(xi, 0, w - 1)
     yc = jnp.clip(yi, 0, h - 1)
-    texel = img[yc, xc]                      # (..., 4) gather
+    texel = image_gather(img, xc, yc, inb)   # (..., 4) masked gather
     val = texel[..., 3:4] if alpha else texel[..., :3]
-    val = jnp.where(inb[..., None], val, 0.0)
     return jnp.broadcast_to(val, val.shape[:-1] + (3,))
 
 
@@ -255,9 +261,12 @@ def _skybox_lookup(stack, v, alpha: bool):
     inb = (xi >= 0) & (xi < wid) & (yi >= 0) & (yi < h)
     xc = jnp.clip(xi, 0, wid - 1)
     yc = jnp.clip(yi, 0, h - 1)
-    texel = stack[face, yc, xc]
+    # fold the face index into the row index so the 6-face gather shares
+    # image_gather's histogram transpose (stack viewed as (6·H, W, 4))
+    from ptx.ops.imagegrad import image_gather
+    flat = stack.reshape(6 * h, wid, stack.shape[3])
+    texel = image_gather(flat, xc, face * h + yc, inb & ~zero_dir)
     val = texel[..., 3:4] if alpha else texel[..., :3]
-    val = jnp.where((inb & ~zero_dir)[..., None], val, 0.0)
     return jnp.broadcast_to(val, val.shape[:-1] + (3,))
 
 
