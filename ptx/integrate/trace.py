@@ -671,22 +671,35 @@ def _compact_wavefront(carry, orig_idx, cap: int, key=None):
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1     # 0-based target
     tgt = jnp.where(keep, pos, cap)                  # cap = drop slot
 
-    def scat(x, fill):
-        out = jnp.full((cap + 1,) + x.shape[1:], fill, x.dtype)
-        return out.at[tgt].set(x)[:cap]
+    # ONE packed scatter: TPU scatter cost is per UPDATE ROW, not per
+    # byte (profiler: a (21846,3) and a (21846,) scatter both ~0.6 ms at
+    # B=65k), so scattering the 6 carry arrays separately paid ~6× for
+    # nothing — pack all 12 columns into one (B, 12) row scatter and
+    # unpack.  int32 columns ride along bitcast to f32 (exact).
+    f32 = lambda x: x.astype(jnp.float32)
+    cols = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+        + [(throughput * w)[:, i] for i in range(3)]
+        + [strength, f32(alive),
+           jax.lax.bitcast_convert_type(orig_idx, jnp.float32)],
+        axis=-1)                                     # (B, 12)
+    # drop-slot fill: zeros everywhere except the orig sentinel (any
+    # value ≥ the ORIGINAL width; orig_idx shrinks per phase, so its own
+    # length is NOT safe as a sentinel)
+    fill = jnp.zeros((12,), jnp.float32).at[11].set(
+        jax.lax.bitcast_convert_type(jnp.int32(2 ** 31 - 1), jnp.float32))
+    out = jnp.broadcast_to(fill, (cap + 1, 12)).at[tgt].set(cols)[:cap]
 
+    new_alive = out[:, 10] > 0.5
     new_carry = (
-        scat(o, 0.0),
+        out[:, 0:3],
         # filler lanes get a safe unit direction (guarded math downstream)
-        scat(d, 0.0).at[:, 2].add(
-            jnp.where(scat(alive, False), 0.0, -1.0)),
-        scat(throughput * w, 0.0),
-        scat(strength, 0.0),
-        scat(alive, False),
+        out[:, 3:6].at[:, 2].add(jnp.where(new_alive, 0.0, -1.0)),
+        out[:, 6:9],
+        out[:, 9],
+        new_alive,
     )
-    # drop sentinel: any value ≥ the ORIGINAL width (orig_idx shrinks
-    # per phase, so its own length is NOT safe as a sentinel)
-    new_orig = scat(orig_idx, jnp.int32(2 ** 31 - 1))
+    new_orig = jax.lax.bitcast_convert_type(out[:, 11], jnp.int32)
     return new_carry, new_orig
 
 
@@ -754,13 +767,19 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             """All of a phase's threefry draws in one pre-scan region —
             the same values the bounce would draw itself (fold(key, b)
             then streams 1 and 2), batched so the scan body contains no
-            threefry fusion islands (bit-identical output)."""
-            ks = [rng.fold(key, b) for b in range(start, end)]
-            u_coins = jnp.stack([
-                jax.random.uniform(rng.fold(kb, 1), (width,)) for kb in ks])
-            u3s = jnp.stack([
-                jax.random.uniform(rng.fold(kb, 2), (width, 3))
-                for kb in ks])
+            threefry fusion islands (bit-identical output).  vmap over
+            the stacked per-bounce keys fuses the whole phase into ONE
+            threefry dispatch per stream — per-bounce uniform calls cost
+            ~100× their arithmetic in fusion overhead (draws_only was
+            1.56 ms of the 7.1 ms bench-chunk forward,
+            tools/step_breakdown.py) — while vmap of jax.random is
+            value-identical to the per-key calls."""
+            ks = jnp.stack([rng.fold(key, b) for b in range(start, end)])
+            u_coins = jax.vmap(
+                lambda kb: jax.random.uniform(rng.fold(kb, 1), (width,)))(ks)
+            u3s = jax.vmap(
+                lambda kb: jax.random.uniform(rng.fold(kb, 2),
+                                              (width, 3)))(ks)
             return (jnp.arange(start, end), u_coins, u3s)
     else:
         def bounce(carry, bounce_idx):
@@ -820,6 +839,16 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         if pi == 0:
             radiance = radiance + contrib
         else:
+            # orig_idx is strictly increasing over kept lanes (compaction
+            # packs in lane order) and the clipped drop-sentinel tail is a
+            # constant B−1, so the index vector is nondecreasing —
+            # indices_are_sorted lets XLA skip the scatter sort phase
+            # (measured 0.9 ms of the 7.1 ms bench-chunk forward as a
+            # plain .at[].add — scan-anatomy probe, tools/step_breakdown.py
+            # notes).  unique_indices would NOT be honest: the clipped
+            # sentinels duplicate B−1 (their added value is 0, but the
+            # promise is about indices).
             radiance = radiance.at[jnp.clip(orig_idx, 0, B - 1)].add(
-                jnp.where((orig_idx < B)[..., None], contrib, 0.0))
+                jnp.where((orig_idx < B)[..., None], contrib, 0.0),
+                indices_are_sorted=True)
     return radiance.reshape(batch_shape + (3,))

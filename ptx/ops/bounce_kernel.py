@@ -417,6 +417,11 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
     const_idx, n_materials = material_meta
     leaf_mat = np.asarray(mats_np, np.int32)
     P_total = L * _ROW + n_materials * _BMAT_STRIDE
+    _LPAD = -(-L // 8) * 8                  # leaf one-hot rows, 8-aligned
+    assert _ROW + _BMAT_STRIDE <= 128, "cotangent columns exceed one tile"
+    # static leaf→material fold for the per-leaf material cotangents
+    _leaf2mat = np.zeros((L, n_materials), np.float32)
+    _leaf2mat[np.arange(L), leaf_mat] = 1.0
 
     def pack_bwd(params):
         rows = hitreplay.leaf_rows(leaves, params).reshape(-1)
@@ -468,9 +473,21 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
                               scal_list[base_of_leaf(k)], v)
             return v
 
-        def f(scals, ox, oy, oz, dx, dy, dz, thx, thy, thz):
-            row = [sel_leaf(scals, lambda k, j=j: k * _ROW + j)
-                   for j in range(_ROW)]
+        # Per-lane selection happens OUTSIDE the differentiated function:
+        # vjp through the select chains transposed into one masked
+        # cross-lane reduction PER SMEM SCALAR (378 serial reductions per
+        # tile — the dominant backward-kernel cost).  With per-lane
+        # selected values as the vjp primals, their cotangents come back
+        # as plain (T, 128) lanes and are contracted into per-leaf rows
+        # by the MXU one-hot dot below (same pattern as ptx.ops.imagegrad).
+        row_lane = tuple(sel_leaf(scals, lambda k, j=j: k * _ROW + j)
+                         for j in range(_ROW))
+        m_lane = tuple(sel_leaf(
+            scals,
+            lambda k, j=j: L * _ROW + int(leaf_mat[k]) * _BMAT_STRIDE + j)
+            for j in range(_BMAT_STRIDE))
+
+        def f(row, ms, ox, oy, oz, dx, dy, dz, thx, thy, thz):
             sph = jnp.zeros(evt.shape, bool)
             par = jnp.zeros(evt.shape, jnp.float32)
             for k in range(L):
@@ -478,18 +495,10 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
                 sph = sph | (on & bool(is_sphere_np[k]))
                 par = jnp.where(on, jnp.float32(parity_np[k]), par)
 
-            def msel(j):
-                v = jnp.zeros(evt.shape, jnp.float32)
-                for k in range(L):
-                    v = jnp.where(
-                        leaf_idx == jnp.float32(k),
-                        scals[L * _ROW + int(leaf_mat[k]) * _BMAT_STRIDE + j],
-                        v)
-                return v
-            rfl = (msel(0), msel(1), msel(2))
-            scatter_f = msel(3)
-            tmt = (msel(4), msel(5), msel(6))
-            ior = msel(7)
+            rfl = (ms[0], ms[1], ms[2])
+            scatter_f = ms[3]
+            tmt = (ms[4], ms[5], ms[6])
+            ior = ms[7]
 
             # --- selected-boundary recompute (hitreplay.recompute_flat) ---
             w = row[5:17]
@@ -597,8 +606,8 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
             t2z = jnp.where(new_alive, thz * bt2, thz)
             return o2x, o2y, o2z, d2x, d2y, d2z, t2x, t2y, t2z
 
-        _, vjp = jax.vjp(f, scals, *o, *d, *thr)
-        (d_scals, d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
+        _, vjp = jax.vjp(f, row_lane, m_lane, *o, *d, *thr)
+        (d_row, d_m, d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
          d_tx, d_ty, d_tz) = vjp(cts)
 
         do_x_ref[...] = d_ox
@@ -610,12 +619,33 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
         dt_x_ref[...] = d_tx
         dt_y_ref[...] = d_ty
         dt_z_ref[...] = d_tz
-        # accumulate param cotangents across the sequential grid into the
-        # single shared SMEM block
+        # contract per-lane cotangents into per-LEAF rows on the MXU:
+        # acc[k, j] = Σ_lanes onehot(leaf==k) · d_j[lane], j over the 26
+        # leaf-row columns then the 8 material columns (leaf-wise; the
+        # leaf→material fold happens in XLA, the map is static).  The
+        # accumulator block is shared across the sequential grid.
+        iota_l = jax.lax.broadcasted_iota(
+            jnp.int32, (_LPAD, 128), 0).astype(jnp.float32)
+        nj = _ROW + _BMAT_STRIDE
+        t_rows = evt.shape[0]
+        acc = jnp.zeros((_LPAD, 128), jnp.float32)
+        for s in range(t_rows):
+            oh = jnp.where(
+                iota_l == jnp.broadcast_to(leaf_idx[s:s + 1, :],
+                                           (_LPAD, 128)), 1.0, 0.0)
+            wv = jnp.concatenate(
+                [d_row[j][s:s + 1, :] for j in range(_ROW)]
+                + [d_m[j][s:s + 1, :] for j in range(_BMAT_STRIDE)],
+                axis=0)                                   # (34, 128)
+            part = jax.lax.dot_general(
+                oh, wv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (_LPAD, 34)
+            acc = acc + jnp.concatenate(
+                [part, jnp.zeros((_LPAD, 128 - nj), jnp.float32)], axis=1)
         first = pl.program_id(0) == 0
-        for i in range(P_total):
-            prev = jnp.where(first, 0.0, dp_ref[0, i])
-            dp_ref[0, i] = prev + d_scals[i]
+        prev = jnp.where(first, jnp.zeros_like(acc), dp_ref[...])
+        dp_ref[...] = prev + acc
 
     interpret = jax.default_backend() != "tpu"
 
@@ -634,13 +664,13 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
                                    memory_space=pltpu.SMEM)]
                      + [block] * len(arrs),
             out_specs=[block] * 9
-                      + [pl.BlockSpec((1, P_total), lambda i: (0, 0),
-                                      memory_space=pltpu.SMEM)],
+                      + [pl.BlockSpec((_LPAD, 128), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)],
             out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 9
-                      + [jax.ShapeDtypeStruct((1, P_total), jnp.float32)],
+                      + [jax.ShapeDtypeStruct((_LPAD, 128), jnp.float32)],
             interpret=interpret,
         )(packed[None, :], *(a.reshape(shape2) for a in arrs))
-        return ([o.reshape(n) for o in outs[:9]], outs[9][0])
+        return ([o.reshape(n) for o in outs[:9]], outs[9])
 
     def bwd_fn(params, o, d, thr, dec, ct_o2, ct_d2, ct_thr2):
         B = o.shape[0]
@@ -663,11 +693,16 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
             comps += [col(arr[:, i]) for i in range(3)]
 
         packed, pack_vjp = jax.vjp(pack_bwd, params)
-        lanes, d_packed = run_kernel(jax.lax.stop_gradient(packed), *comps)
+        lanes, acc = run_kernel(jax.lax.stop_gradient(packed), *comps)
         cut = lambda a: a[:B]
         d_o = jnp.stack([cut(lanes[0]), cut(lanes[1]), cut(lanes[2])], -1)
         d_d = jnp.stack([cut(lanes[3]), cut(lanes[4]), cut(lanes[5])], -1)
         d_thr = jnp.stack([cut(lanes[6]), cut(lanes[7]), cut(lanes[8])], -1)
+        # acc: per-leaf cotangent rows (kernel comment); fold the leaf-wise
+        # material columns onto materials and rebuild the packed vector
+        d_rows = acc[:L, :_ROW]
+        d_mat = jnp.asarray(_leaf2mat).T @ acc[:L, _ROW:_ROW + _BMAT_STRIDE]
+        d_packed = jnp.concatenate([d_rows.reshape(-1), d_mat.reshape(-1)])
         (d_params,) = pack_vjp(d_packed)
         return d_o, d_d, d_thr, d_params
 

@@ -28,7 +28,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODES = ["full", "fwd", "no_img_grad", "no_geom_grad", "no_mat_grad",
-         "no_compact", "no_rng", "const_sky"]
+         "no_compact", "no_rng", "const_sky", "const_sky_fwd",
+         "no_emission", "no_emission_fwd", "draws_only"]
 
 GEOM_KEYS = ("sphere_center", "sphere_radius", "plane_normal", "plane_d",
              "xform", "ior")
@@ -57,6 +58,38 @@ def build(mode, scene, cam, spp_chunk=1, rows=128, width=512, depth=16):
         jrandom.uniform = stub_uniform
         jax.random.uniform = stub_uniform
 
+    if mode in ("no_emission", "no_emission_fwd"):
+        # stub the emissive chain (gather + equirect trig + table row):
+        # what remains is the bounce kernels, compaction, threefry, glue
+        real_em = scene.material_fn.eval_emissive
+        scene.material_fn.eval_emissive = (
+            lambda params, pos, mid: jnp.zeros(pos.shape[:-1] + (3,)))
+
+    if mode == "draws_only":
+        # just the pre-scan threefry batches of the bench chunk's phases
+        B, depth_ = rows * width * spp_chunk, depth
+        phases = [(0, 1), (2, 3), (6, 16)]
+
+        def draws(key, i):
+            key = prng.fold(key, i)
+            tot = jnp.float32(0)
+            for pi, (start, div) in enumerate(phases):
+                end = phases[pi + 1][0] if pi + 1 < len(phases) else depth_ + 1
+                w = B // div
+                for b in range(start, end):
+                    kb = prng.fold(key, b)
+                    tot += jnp.sum(jax.random.uniform(prng.fold(kb, 1), (w,)))
+                    tot += jnp.sum(jax.random.uniform(prng.fold(kb, 2),
+                                                      (w, 3)))
+            return tot
+        f = jax.jit(draws)
+
+        def step(state):
+            params, key, i = state
+            v = f(key, i)
+            return (params, key, i + (v == v).astype(jnp.int32))
+        return step, rows * width * spp_chunk * (depth + 1)
+
     def chunk_loss(params, key, i):
         key = prng.fold(key, i)
         if mode == "no_img_grad":
@@ -72,7 +105,7 @@ def build(mode, scene, cam, spp_chunk=1, rows=128, width=512, depth=16):
                        compact=None if mode != "no_compact" else False)
         return jnp.mean(r)
 
-    if mode == "fwd":
+    if mode in ("fwd", "const_sky_fwd", "no_emission_fwd"):
         f = jax.jit(chunk_loss)
 
         def step(state):
@@ -123,9 +156,10 @@ def main():
     real_uniform = jax.random.uniform
     for mode in modes:
         use_scene = scene
-        if mode == "const_sky":
+        if mode in ("const_sky", "const_sky_fwd"):
             from tools.fwd_breakdown import make_world_const_sky
             use_scene = compile_scene(make_world_const_sky())
+        real_em = use_scene.material_fn.eval_emissive
         try:
             step, rays = build(mode, use_scene, cam)
             dt = timed(step, (use_scene.params, key, jnp.int32(0)), iters=40)
@@ -133,6 +167,7 @@ def main():
             jax.random.uniform = real_uniform
             import jax.random as jrandom
             jrandom.uniform = real_uniform
+            use_scene.material_fn.eval_emissive = real_em
         print(json.dumps({"mode": mode,
                           "ms_per_chunk": round(dt * 1e3, 2),
                           "mrps": round(rays / dt / 1e6, 2)}), flush=True)
