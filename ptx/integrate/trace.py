@@ -676,13 +676,19 @@ def _compact_wavefront(carry, orig_idx, cap: int, key=None):
     # B=65k), so scattering the 6 carry arrays separately paid ~6× for
     # nothing — pack all 12 columns into one (B, 12) row scatter and
     # unpack.  int32 columns ride along bitcast to f32 (exact).
+    # Differentiable columns enter via (B, 3) CONCATENATION, not a stack
+    # of (B,) columns: the transpose of a column stack splits the
+    # cotangent into (B, 1) arrays whose TPU tile layout pads the lane
+    # dim 1 → 128 (33 MB per column at B=65k — ~0.8 ms/step of pure
+    # layout traffic in the profile).  Concat transposes to (B, 3)
+    # slices, which keep the packed layout.  The non-differentiable tail
+    # (strength is comparison-only, alive/orig are int-ish) rides under
+    # stop_gradient so its transpose is pruned outright.
     f32 = lambda x: x.astype(jnp.float32)
-    cols = jnp.stack(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
-        + [(throughput * w)[:, i] for i in range(3)]
-        + [strength, f32(alive),
-           jax.lax.bitcast_convert_type(orig_idx, jnp.float32)],
-        axis=-1)                                     # (B, 12)
+    rest = jax.lax.stop_gradient(jnp.stack(
+        [strength, f32(alive),
+         jax.lax.bitcast_convert_type(orig_idx, jnp.float32)], axis=-1))
+    cols = jnp.concatenate([o, d, throughput * w, rest], axis=1)  # (B, 12)
     # drop-slot fill: zeros everywhere except the orig sentinel (any
     # value ≥ the ORIGINAL width; orig_idx shrinks per phase, so its own
     # length is NOT safe as a sentinel)
