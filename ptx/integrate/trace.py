@@ -625,6 +625,34 @@ def _make_manual_bounce(scene: CompiledScene):
     return bounce_step
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pack_scatter(cols, tgt, fill, cap):
+    """``broadcast(fill).at[tgt].set(cols)[:cap]`` with a hand-written
+    transpose.  Under plain autodiff, XLA's scatter jvp/transpose rules
+    materialize u32 (B, 12) index-bookkeeping arrays (~0.45 ms/step in
+    the profile); the actual VJP is just a gather of the cotangent at
+    ``tgt`` (drop-slot rows read a zero pad row)."""
+    out = jnp.broadcast_to(fill, (cap + 1,) + cols.shape[1:])
+    return out.at[tgt].set(cols)[:cap]
+
+
+def _pack_scatter_fwd(cols, tgt, fill, cap):
+    return _pack_scatter(cols, tgt, fill, cap), tgt
+
+
+def _pack_scatter_bwd(cap, tgt, ct):
+    padded = jnp.concatenate(
+        [ct, jnp.zeros((1,) + ct.shape[1:], ct.dtype)], axis=0)
+    # tgt ∈ [0, cap]; the drop slot cap reads the zero pad row
+    return padded[tgt], None, None
+
+
+_pack_scatter.defvjp(_pack_scatter_fwd, _pack_scatter_bwd)
+
+
 def _compact_wavefront(carry, orig_idx, cap: int, key=None):
     """Compact live lanes into a ``cap``-wide wavefront (dead-lane
     compaction, the TPU way: static shapes, no data-dependent dispatch).
@@ -694,7 +722,7 @@ def _compact_wavefront(carry, orig_idx, cap: int, key=None):
     # length is NOT safe as a sentinel)
     fill = jnp.zeros((12,), jnp.float32).at[11].set(
         jax.lax.bitcast_convert_type(jnp.int32(2 ** 31 - 1), jnp.float32))
-    out = jnp.broadcast_to(fill, (cap + 1, 12)).at[tgt].set(cols)[:cap]
+    out = _pack_scatter(cols, tgt, fill, cap)
 
     new_alive = out[:, 10] > 0.5
     new_carry = (
@@ -816,22 +844,10 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         phases += [(s, dv) for s, dv in _COMPACT_SCHEDULE
                    if s <= depth and B // dv >= 1]
 
-    def phase_radiance(ys):
-        """Sum a phase's emission from its stacked per-bounce ys
-        (pos, mat_id, live, thr) — ONE batched texture fusion (and, in
-        reverse mode, ONE image-gradient scatter) for the whole phase
-        instead of per bounce.  Plain autodiff handles the emissive
-        parameter gradients here; the bounce custom-VJP never sees them."""
-        pos, mid, live, thr = ys
-        nb, Bp = mid.shape
-        em = scene.material_fn.eval_emissive(
-            params, pos.reshape(nb * Bp, 3), mid.reshape(-1))
-        em = em.reshape(nb, Bp, 3)
-        return jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
-
     carry = init
     orig_idx = jnp.arange(B, dtype=jnp.int32)
     radiance = jnp.zeros((B, 3), jnp.float32)
+    saved = []                       # (ys, orig_idx) per phase
     for pi, (start, div) in enumerate(phases):
         end = phases[pi + 1][0] if pi + 1 < len(phases) else depth + 1
         if pi > 0:
@@ -841,7 +857,25 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         xs = (phase_xs(start, end, B // div) if manual_vjp
               else jnp.arange(start, end))
         carry, ys = jax.lax.scan(bounce, carry, xs)
-        contrib = phase_radiance(ys)
+        saved.append((ys, orig_idx))
+
+    # ALL phases' emission in ONE texture evaluation (and, in reverse
+    # mode, one image-gradient histogram + one const-table transpose):
+    # phase lane blocks concatenate into a single flat batch.  Plain
+    # autodiff handles the emissive parameter gradients here; the bounce
+    # custom-VJP never sees them.
+    em_cat = scene.material_fn.eval_emissive(
+        params,
+        jnp.concatenate([ys[0].reshape(-1, 3) for ys, _ in saved]),
+        jnp.concatenate([ys[1].reshape(-1) for ys, _ in saved]))
+    ofs = 0
+    for pi, (ys, orig) in enumerate(saved):
+        pos, mid, live, thr = ys
+        nb, Bp = mid.shape
+        em = em_cat[ofs:ofs + nb * Bp].reshape(nb, Bp, 3)
+        ofs += nb * Bp
+        contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
+        orig_idx = orig
         if pi == 0:
             radiance = radiance + contrib
         else:
