@@ -79,6 +79,7 @@ class CompiledScene:
     hit_replay_fn: Callable = None   # (params, o, d, evt, entering, hit)
     bounce_fn: Callable = None  # fused bounce kernel (ptx.ops.bounce_kernel)
     bounce_bwd_fn: Callable = None   # fused replay-VJP kernel (same module)
+    emission_fn: Callable = None     # fused emission kernel (ptx.ops.emission_kernel)
     _manual_bounce: Callable = None  # cached custom-VJP bounce step
 
 
@@ -149,11 +150,22 @@ def compile_scene(root, fast: bool = True,
         meta = (material_fn.const_idx, material_fn.n_materials)
         bounce_fn = build_bounce_kernel(plan, meta, mats_np)
         bounce_bwd_fn = build_bounce_bwd_kernel(plan, meta, mats_np)
+
+    # fused emission kernel (trig + MXU one-hot VMEM image gather + const
+    # select in one launch): eligible when the scene has exactly one
+    # supported dynamic emissive chain (ptx.ops.emission_kernel docstring)
+    emission_fn = None
+    if want_fused and fast and pallas:
+        from ptx.ops import emission_kernel
+        if emission_kernel.supported(material_fn, compiler.images):
+            emission_fn = emission_kernel.build_emission_fn(
+                material_fn, compiler.images)
     return CompiledScene(params=params, spans_fn=spans_fn,
                          material_fn=material_fn,
                          n_materials=len(ordered_materials), plan=plan,
                          hit_fn=hit_fn, hit_replay_fn=hit_replay_fn,
-                         bounce_fn=bounce_fn, bounce_bwd_fn=bounce_bwd_fn)
+                         bounce_fn=bounce_fn, bounce_bwd_fn=bounce_bwd_fn,
+                         emission_fn=emission_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -864,7 +876,8 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     # phase lane blocks concatenate into a single flat batch.  Plain
     # autodiff handles the emissive parameter gradients here; the bounce
     # custom-VJP never sees them.
-    em_cat = scene.material_fn.eval_emissive(
+    em_eval = scene.emission_fn or scene.material_fn.eval_emissive
+    em_cat = em_eval(
         params,
         jnp.concatenate([ys[0].reshape(-1, 3) for ys, _ in saved]),
         jnp.concatenate([ys[1].reshape(-1) for ys, _ in saved]))

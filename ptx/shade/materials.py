@@ -135,6 +135,10 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
     eval_fn.dynamic_slots = {s: [mi for mi, _ in dynamic[s]] for s in SLOTS}
     eval_fn.n_materials = M
     eval_fn.eval_emissive = eval_emissive
+    # chain specs (ptx.shade.textures compile attaches .spec) for the
+    # fused emission kernel's eligibility check (ptx.ops.emission_kernel)
+    eval_fn.emissive_dynamic_specs = [
+        (mi, getattr(fn, "spec", None)) for mi, fn in dynamic["emissive"]]
 
     return {"ior": iors}, eval_fn
 

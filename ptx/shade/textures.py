@@ -124,12 +124,20 @@ class TextureCompiler:
         return self._image_ids[key]
 
     def compile(self, tex):
-        """Returns ``fn(params, pos) -> (..., 3)``."""
+        """Returns ``fn(params, pos) -> (..., 3)``.
+
+        Each returned closure carries a ``.spec`` attribute — a nested
+        tuple describing the chain structure and assigned param indices —
+        so downstream compilers (the fused emission kernel,
+        ptx.ops.emission_kernel) can recognize supported chains without
+        re-walking texture trees."""
         if isinstance(tex, Constant):
             idx = len(self.params["const"])
             self.params["const"].append(
                 np.broadcast_to(np.asarray(tex.color, np.float32), (3,)).copy())
-            return lambda p, pos: jnp.broadcast_to(p["const"][idx], pos.shape)
+            fn = lambda p, pos: jnp.broadcast_to(p["const"][idx], pos.shape)
+            fn.spec = ("const", idx)
+            return fn
 
         if isinstance(tex, ImageTex):
             img_id = self._image_id(tex.image)
@@ -144,6 +152,7 @@ class TextureCompiler:
                 xi = jnp.floor(x * w).astype(jnp.int32)
                 yi = jnp.floor(y * h).astype(jnp.int32)
                 return _get_pixel(img, xi, yi, alpha)
+            image_fn.spec = ("image", img_id, alpha)
             return image_fn
 
         if isinstance(tex, Skybox):
@@ -157,6 +166,7 @@ class TextureCompiler:
             def skybox_fn(p, pos):
                 stack = jnp.stack([p["images"][i] for i in ids])  # (6, H, W, 4)
                 return _skybox_lookup(stack, pos, alpha)
+            skybox_fn.spec = ("skybox", tuple(ids), alpha)
             return skybox_fn
 
         if isinstance(tex, TransformedTex):
@@ -164,22 +174,30 @@ class TextureCompiler:
             self.params["tex_xform"].append(
                 np.asarray(tex.transform, np.float32).reshape(3, 4))
             child = self.compile(tex.child)
-            return lambda p, pos: child(p, linalg.apply(p["tex_xform"][idx], pos))
+            fn = lambda p, pos: child(p, linalg.apply(p["tex_xform"][idx], pos))
+            fn.spec = ("xform", idx, child.spec)
+            return fn
 
         if isinstance(tex, MirrorBall):
             child = self.compile(tex.child)
-            return lambda p, pos: child(p, _mirror_ball_uv(pos))
+            fn = lambda p, pos: child(p, _mirror_ball_uv(pos))
+            fn.spec = ("mirror", child.spec)
+            return fn
 
         if isinstance(tex, SphericalCoords):
             child = self.compile(tex.child)
-            return lambda p, pos: child(p, _spherical_uv(pos))
+            fn = lambda p, pos: child(p, _spherical_uv(pos))
+            fn.spec = ("spherical", child.spec)
+            return fn
 
         if isinstance(tex, Multiply):
             idx = len(self.params["factor"])
             self.params["factor"].append(
                 np.broadcast_to(np.asarray(tex.factor, np.float32), (3,)).copy())
             child = self.compile(tex.child)
-            return lambda p, pos: child(p, pos) * p["factor"][idx]
+            fn = lambda p, pos: child(p, pos) * p["factor"][idx]
+            fn.spec = ("mul", idx, child.spec)
+            return fn
 
         if isinstance(tex, Log):
             child = self.compile(tex.child)
@@ -189,6 +207,7 @@ class TextureCompiler:
                 safe = jnp.maximum(v, 1e-30)
                 return jnp.where(v <= 1e-30, 0.0,
                                  0.5 + jnp.log2(safe) / 256.0)
+            log_fn.spec = ("log", child.spec)
             return log_fn
 
         raise TypeError(f"unknown texture node {type(tex)!r}")
