@@ -121,7 +121,7 @@ def build_emission_fn(material_fn, images):
     def kernel(pp_ref, img_ref, px_ref, py_ref, pz_ref, mid_ref,
                em0_ref, em1_ref, em2_ref,
                tx0_ref, tx1_ref, tx2_ref,
-               xi_ref, yi_ref, fl_ref, *, H, W, W_pad, KX):
+               xi_ref, yi_ref, fl_ref, row_ref, *, H, W, W_pad, KX):
         P = lambda i: pp_ref[0, i]
         px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
         mid = mid_ref[...]
@@ -167,22 +167,33 @@ def build_emission_fn(material_fn, images):
         xc = jnp.clip(xi, 0.0, W - 1.0)
         yc = jnp.clip(yi, 0.0, H - 1.0)
 
-        H_pad = img_ref.shape[0]
+        # img_ref: (2·H_pad, 3·W_pad) bf16 — stacked hi/lo split of the
+        # f32 image.  Two DEFAULT-precision MXU passes (hi + lo) replace
+        # one precision=HIGHEST dot (~3 passes): the one-hot operand is
+        # exact in bf16, and hi+lo carries the image values to ~2⁻¹⁶
+        # relative (profile: the HIGHEST row-pull was 1.1 ms/step).
+        H_pad = img_ref.shape[0] // 2
         iota_h = jax.lax.broadcasted_iota(
             jnp.int32, (H_pad, 128), 0).astype(jnp.float32)
         iota_x = jax.lax.broadcasted_iota(
             jnp.int32, (128, 128), 0).astype(jnp.float32)
+        img_hi = img_ref[:H_pad, :]
+        img_lo = img_ref[H_pad:, :]
 
         rows = [[], [], []]              # per-channel (1, 128) sublane rows
         for s in range(_T_ROWS):
             y_row = yc[s:s + 1, :]
             ohy = jnp.where(
-                iota_h == jnp.broadcast_to(y_row, (H_pad, 128)), 1.0, 0.0)
-            # M1[j, l] = img_r[y_l, j] — one MXU pass per sublane
-            m1 = jax.lax.dot_general(
-                img_ref[...], ohy, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # (4·W_pad, 128)
+                iota_h == jnp.broadcast_to(y_row, (H_pad, 128)),
+                1.0, 0.0).astype(jnp.bfloat16)
+            # M1[j, l] = img_r[y_l, j] — hi + lo MXU passes per sublane
+            dims = (((0,), (0,)), ((), ()))
+            m1 = (jax.lax.dot_general(
+                      img_hi, ohy, dims,
+                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(
+                      img_lo, ohy, dims,
+                      preferred_element_type=jnp.float32))  # (3·W_pad, 128)
             x_row = jnp.broadcast_to(xc[s:s + 1, :], (128, 128))
             ohxs = [jnp.where(iota_x + jnp.float32(128 * xb) == x_row,
                               1.0, 0.0) for xb in range(KX)]
@@ -202,15 +213,19 @@ def build_emission_fn(material_fn, images):
         t0, t1, t2 = tex[0] * inb_f, tex[1] * inb_f, tex[2] * inb_f
         d0, d1, d2 = t0 * f0, t1 * f1, t2 * f2
 
-        # const-emissive rows by material one-hot (SMEM)
+        # const-emissive rows by material one-hot (SMEM); ``row`` is the
+        # lane's const-table row id (static map), consumed by the
+        # backward's combined histogram
         c0 = jnp.zeros(px.shape, jnp.float32)
         c1 = jnp.zeros(px.shape, jnp.float32)
         c2 = jnp.zeros(px.shape, jnp.float32)
+        row = jnp.zeros(px.shape, jnp.float32)
         for m in range(M):
             on = mid == jnp.float32(m)
             c0 = jnp.where(on, P(15 + 3 * m + 0), c0)
             c1 = jnp.where(on, P(15 + 3 * m + 1), c1)
             c2 = jnp.where(on, P(15 + 3 * m + 2), c2)
+            row = jnp.where(on, jnp.float32(float(const_rows[m])), row)
 
         sel = mid == jnp.float32(dyn_mi)
         em0_ref[...] = jnp.where(sel, d0, c0)
@@ -223,6 +238,7 @@ def build_emission_fn(material_fn, images):
         yi_ref[...] = yc
         fl_ref[...] = (jnp.where(sel, 1.0, 0.0)
                        + jnp.where(inb, 2.0, 0.0))
+        row_ref[...] = row
 
     interpret = jax.default_backend() != "tpu"
     kern = functools.partial(kernel, H=IMG_H, W=IMG_W, W_pad=W_PAD, KX=KX)
@@ -241,8 +257,8 @@ def build_emission_fn(material_fn, images):
             in_specs=[pl.BlockSpec((1, P_total), lambda i: (0, 0),
                                    memory_space=pltpu.SMEM), img_spec]
                      + [block] * len(arrs),
-            out_specs=[block] * 9,
-            out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 9,
+            out_specs=[block] * 10,
+            out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 10,
             interpret=interpret,
         )(packed[None, :], img_r, *(a.reshape(shape2) for a in arrs))
         return [o.reshape(n) for o in outs]
@@ -261,13 +277,16 @@ def build_emission_fn(material_fn, images):
         return jnp.concatenate([xf, fc, ce])
 
     def _img_r(img):
-        # j = c·W_PAD + x
-        r = jnp.zeros((H_PAD, 4 * W_PAD), jnp.float32)
+        # j = c·W_PAD + x (rgb only — alpha is never read), hi/lo bf16
+        # split stacked along rows (kernel comment)
+        r = jnp.zeros((H_PAD, 3 * W_PAD), jnp.float32)
         r = r.at[:IMG_H, :].set(
-            jnp.pad(img.transpose(0, 2, 1),
+            jnp.pad(img[..., :3].transpose(0, 2, 1),
                     ((0, 0), (0, 0), (0, W_PAD - IMG_W))
-                    ).reshape(IMG_H, 4 * W_PAD))
-        return jax.lax.stop_gradient(r)
+                    ).reshape(IMG_H, 3 * W_PAD))
+        hi = r.astype(jnp.bfloat16)
+        lo = (r - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jax.lax.stop_gradient(jnp.concatenate([hi, lo], axis=0))
 
     def _forward(params, pos, mid):
         N = pos.shape[0]
@@ -284,13 +303,14 @@ def build_emission_fn(material_fn, images):
         if img_id is not None:
             img_r = _img_r(sg(params["images"][img_id]))
         else:
-            img_r = jnp.zeros((H_PAD, 4 * W_PAD), jnp.float32)
+            img_r = jnp.zeros((2 * H_PAD, 3 * W_PAD), jnp.bfloat16)
         outs = run_kernel(_pack(params), img_r, *arrs)
         cut = lambda a: a[:N]
         em = jnp.stack([cut(outs[0]), cut(outs[1]), cut(outs[2])], -1)
         texel = jnp.stack([cut(outs[3]), cut(outs[4]), cut(outs[5])], -1)
         xi, yi, fl = cut(outs[6]), cut(outs[7]), cut(outs[8])
-        return em, (texel, xi, yi, fl, mid)
+        row = cut(outs[9])
+        return em, (texel, xi, yi, fl, row)
 
     @jax.custom_vjp
     def em_fn(params, pos, mid):
@@ -303,50 +323,45 @@ def build_emission_fn(material_fn, images):
         return em, (res, fval, params)
 
     def bwd2(resids, ct):
-        (texel, xi, yi, fl, mid), fval, params = resids
+        # ONE combined histogram accumulates the image cotangent (bins
+        # [0, H)×[0, W)) AND the const-table row cotangents (bins
+        # [H, H+R) at x=0) — the two hist kernel launches measured
+        # ~0.9 ms/step as separate calls.  Image bins take ct·factor on
+        # dyn in-bounds lanes; const bins take raw ct on non-dyn lanes
+        # (the kernel exported each lane's static const row id).
+        (texel, xi, yi, fl, row), fval, params = resids
         sel = (fl % 2.0) >= 1.0
+        inb = fl >= 2.0
         d_params = jax.tree.map(jnp.zeros_like, params)
 
         ct_dyn = jnp.where(sel[..., None], ct, 0.0)
+        R = params["const"].shape[0]
+        hist = _build_hist(IMG_H + R, IMG_W, 3, interpret=interpret)
+        y = jnp.where(sel & inb, yi,
+                      jnp.where(sel, -1.0, jnp.float32(IMG_H) + row))
+        x = jnp.where(sel, xi, 0.0)
+        vals = jnp.where(sel[..., None], ct_dyn * fval, ct)
+        n = y.shape[0]
+        pad = (-n) % _LANES
+        if pad:
+            y = jnp.concatenate([y, jnp.full((pad,), -1.0)])
+            x = jnp.concatenate([x, jnp.zeros((pad,))])
+            vals = jnp.concatenate([vals, jnp.zeros((pad, 3))])
+        out = hist(y, x, vals)                            # (H+R, W, 3)
         if img_id is not None:
-            H, W = params["images"][img_id].shape[:2]
-            hist = _build_hist(H, W, 3, interpret=interpret)
-            n = xi.shape[0]
-            pad = (-n) % _LANES
-
-            def colp(a, fill=0.0):
-                if pad:
-                    return jnp.concatenate(
-                        [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
-                return a
-            inb = fl >= 2.0
-            y = colp(jnp.where(sel & inb, yi, -1.0))
-            x = colp(xi)
-            vals = colp(ct_dyn * fval)
-            d_img = hist(y, x, vals)                      # (H, W, 3)
             d_img = jnp.concatenate(
-                [d_img, jnp.zeros((H, W, 1), jnp.float32)], axis=-1)
+                [out[:IMG_H], jnp.zeros((IMG_H, IMG_W, 1), jnp.float32)],
+                axis=-1)
             imgs = list(d_params["images"])
             imgs[img_id] = d_img
             d_params = dict(d_params, images=imgs)
+        d_params = dict(d_params,
+                        const=d_params["const"] + out[IMG_H:, 0, :])
         if factor_idx is not None:
             d_f = jnp.sum(ct_dyn * texel, axis=0)         # (3,)
             d_params = dict(
                 d_params,
                 factor=d_params["factor"].at[factor_idx].add(d_f))
-        # const-table rows: tiny histogram over the R const rows
-        ct_const = jnp.where(sel[..., None], 0.0, ct)
-        R = params["const"].shape[0]
-        histc = _build_hist(R, 1, 3, interpret=interpret)
-        rows = jnp.asarray(const_rows, jnp.float32)[mid]
-        n = rows.shape[0]
-        pad = (-n) % _LANES
-        if pad:
-            rows = jnp.concatenate([rows, jnp.full((pad,), -1.0)])
-            ct_const = jnp.concatenate(
-                [ct_const, jnp.zeros((pad, 3), jnp.float32)])
-        d_const = histc(rows, jnp.zeros_like(rows), ct_const)[:, 0, :]
-        d_params = dict(d_params, const=d_params["const"] + d_const)
         return (d_params, jnp.zeros(texel.shape[:1] + (3,), jnp.float32),
                 None)
 
