@@ -9,12 +9,14 @@ ROW), the const-table gather + the layout copies XLA inserts around it
 the whole chain is ~300 ops/lane.
 
 This kernel keeps every intermediate in VMEM/registers and replaces the
-HBM row gather with an MXU contraction: the image lives in VMEM as
-``img_r (H, 4·W_pad)``; per sublane, a one-hot over rows pulls each
-lane's image ROW with one matmul (``M1[j, l] = Σ_y img_r[y, j] ·
-1[y == y_l]``), and a one-hot over columns selects the texel with
-VPU multiply-reduce.  ``precision=HIGHEST`` on the dot is required —
-single-pass MXU bf16 rounds the image values (see ptx.ops.imagegrad).
+HBM row gather with an MXU contraction: the image lives in VMEM as a
+stacked hi/lo bf16 split of ``img_r (H, 3·W_pad)`` (rgb only — alpha is
+never read); per sublane, a one-hot over rows pulls each lane's image
+ROW with two DEFAULT-precision matmuls (``M1[j, l] = Σ_y img_r[y, j] ·
+1[y == y_l]``, hi + lo — the one-hot operand is bf16-exact and hi+lo
+carries the image to ~2⁻¹⁶ relative, vs ~3 MXU passes for
+precision=HIGHEST), and a one-hot over columns selects the texel with
+VPU multiply-reduce.
 
 Supported emissive chains (checked against the compile-time ``.spec``
 chain recorded by ptx.shade.textures): exactly ONE dynamic emissive
@@ -31,9 +33,11 @@ Reference semantics reproduced: transform_texture position transform
 46-85), ImageTex wrap/flip/bounds (image_texture.h:18-28,
 image.cpp:366-396), Multiply filter (filter_texture.h:30-48).
 
-Backward: custom VJP — d_image via the MXU histogram kernel
-(ptx.ops.imagegrad._build_hist, also used for the const-table rows),
-d_factor from the kernel's masked-texel output; positions are
+Backward: custom VJP — ONE MXU histogram call
+(ptx.ops.imagegrad._build_hist) accumulates both the image cotangent
+(bins [0, H)×[0, W)) and the const-table row cotangents (bins
+[H, H+R) at x = 0, keyed by the kernel's per-lane row-id output);
+d_factor comes from the kernel's masked-texel output.  Positions are
 gradient-free through nearest-texel lookups (exactly zero a.e.), as is
 the transform matrix (indices are integer).
 """
@@ -48,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ptx.ops.bounce_kernel import _acos, _dot3, _normalize3
+from ptx.ops.bounce_kernel import _acos, _normalize3
 from ptx.ops.imagegrad import _build_hist
 
 _T_ROWS = 8

@@ -68,6 +68,66 @@ def test_matches_xla_chain(scene):
                                rtol=1e-5, atol=1e-5)
 
 
+def _compile_fused(root):
+    import os
+    old_p, old_f = os.environ.get("PTX_PALLAS"), os.environ.get("PTX_FUSED")
+    os.environ["PTX_PALLAS"] = "1"
+    os.environ["PTX_FUSED"] = "1"
+    try:
+        return tr.compile_scene(root)
+    finally:
+        for k, v in (("PTX_PALLAS", old_p), ("PTX_FUSED", old_f)):
+            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+
+
+def test_mirror_ball_chain():
+    """The kernel's mirror-ball branch (the demo only exercises
+    spherical): a mirror-probe sky world vs the XLA chain."""
+    from ptx.geom.tape import Sphere
+    from ptx.scenes.builders import (Material, make_sky_mirror_sphere,
+                                     sky_planes, union_array)
+
+    r = np.random.default_rng(7)
+    probe = r.uniform(0.0, 2.0, (16, 32, 4)).astype(np.float32)
+    sky = make_sky_mirror_sphere(probe, scale=(1.5, 1.0, 0.5))
+    world = union_array([Sphere((0.0, 0.0, -4.0), 1.0,
+                                Material(reflect=0.8, scatter=1.0))]
+                        + sky_planes(sky))
+    s = _compile_fused(world)
+    assert s.emission_fn is not None
+
+    n = 1024
+    # directions away from mirror-ball uv-boundaries: random but with the
+    # boundary-adjacent lanes compared loosely
+    d = r.normal(size=(n, 3)).astype(np.float32) * 20.0
+    mid = jnp.asarray(r.integers(0, s.n_materials, n).astype(np.int32))
+    got = np.asarray(s.emission_fn(s.params, jnp.asarray(d), mid))
+    want = np.asarray(s.material_fn.eval_emissive(s.params,
+                                                  jnp.asarray(d), mid))
+    close = np.isclose(got, want, rtol=1e-4, atol=1e-4).all(axis=-1)
+    # allow a tiny fraction of texel flips at cell boundaries (acos vs
+    # arctan2 differ by ~1e-7)
+    assert close.mean() > 0.995, float(close.mean())
+
+
+def test_unsupported_chain_falls_back():
+    """A Skybox emissive (cubemap) is not kernel-eligible → no
+    emission_fn, XLA path serves."""
+    from ptx.geom.tape import Sphere
+    from ptx.scenes.builders import (Material, make_sky_box, sky_planes,
+                                     union_array)
+
+    r = np.random.default_rng(8)
+    face = r.uniform(0.0, 1.0, (8, 8, 4)).astype(np.float32)
+    sky = make_sky_box({k: face for k in
+                        ("top", "bottom", "left", "right", "front", "back")})
+    world = union_array([Sphere((0.0, 0.0, -4.0), 1.0,
+                                Material(reflect=0.8, scatter=1.0))]
+                        + sky_planes(sky))
+    s = _compile_fused(world)
+    assert s.emission_fn is None
+
+
 def test_gradients_match_xla_chain(scene):
     n = 1024
     pos, dyn_mi = _interior_positions(scene, n, seed=2)
