@@ -888,20 +888,17 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         em = em_cat[ofs:ofs + nb * Bp].reshape(nb, Bp, 3)
         ofs += nb * Bp
         contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
-        orig_idx = orig
         if pi == 0:
             radiance = radiance + contrib
         else:
-            # orig_idx is strictly increasing over kept lanes (compaction
+            # orig is strictly increasing over kept lanes (compaction
             # packs in lane order) and the clipped drop-sentinel tail is a
             # constant B−1, so the index vector is nondecreasing —
-            # indices_are_sorted lets XLA skip the scatter sort phase
-            # (measured 0.9 ms of the 7.1 ms bench-chunk forward as a
-            # plain .at[].add — scan-anatomy probe, tools/step_breakdown.py
-            # notes).  unique_indices would NOT be honest: the clipped
-            # sentinels duplicate B−1 (their added value is 0, but the
-            # promise is about indices).
-            radiance = radiance.at[jnp.clip(orig_idx, 0, B - 1)].add(
-                jnp.where((orig_idx < B)[..., None], contrib, 0.0),
+            # indices_are_sorted lets XLA skip the scatter sort phase.
+            # unique_indices would NOT be honest: the clipped sentinels
+            # duplicate B−1 (their added value is 0, but the promise is
+            # about indices).
+            radiance = radiance.at[jnp.clip(orig, 0, B - 1)].add(
+                jnp.where((orig < B)[..., None], contrib, 0.0),
                 indices_are_sorted=True)
     return radiance.reshape(batch_shape + (3,))
