@@ -59,22 +59,29 @@ def _hist_kernel(y_ref, x_ref, *refs, H, W_pad, C):
         jnp.int32, (W_pad, 128), 0).astype(jnp.float32)
 
     acc = jnp.zeros((H, C * W_pad), jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
     for s in range(_T_ROWS):
         y_row = y_ref[s:s + 1, :]                     # (1, 128) f32
         x_row = x_ref[s:s + 1, :]
         ohy = jnp.where(iota_h == jnp.broadcast_to(y_row, (H, 128)),
-                        1.0, 0.0)                     # (H, 128)
+                        1.0, 0.0).astype(jnp.bfloat16)  # (H, 128), exact
         ohx = jnp.where(iota_w == jnp.broadcast_to(x_row, (W_pad, 128)),
                         1.0, 0.0)                     # (W_pad, 128)
         wv = jnp.concatenate(
             [ohx * jnp.broadcast_to(val_refs[c][s:s + 1, :], (W_pad, 128))
              for c in range(C)], axis=0)              # (C·W_pad, 128)
-        acc = acc + jax.lax.dot_general(
-            ohy, wv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # single-pass MXU is bf16: measured 1.1e-2 abs error on unit
-            # gradients; HIGHEST selects the multi-pass f32 decomposition
-            precision=jax.lax.Precision.HIGHEST)      # (H, C·W_pad)
+        # hi/lo bf16 split: two DEFAULT-precision MXU passes instead of
+        # HIGHEST's ~3 (single-pass bf16 alone measured 1.1e-2 abs error
+        # on unit gradients; hi+lo carries values to ~2⁻¹⁷ relative —
+        # the one-hot operand is bf16-exact)
+        wv_hi = wv.astype(jnp.bfloat16)
+        wv_lo = (wv - wv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + (jax.lax.dot_general(
+                         ohy, wv_hi, dims,
+                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                         ohy, wv_lo, dims,
+                         preferred_element_type=jnp.float32))
 
     prev = jnp.where(first, jnp.zeros_like(acc), acc_ref[...])
     acc_ref[...] = prev + acc

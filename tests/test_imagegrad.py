@@ -63,7 +63,8 @@ def test_hist_kernel_interpret_matches_oracle():
     x = jnp.asarray(xc, jnp.float32)
     got = hist(y, x, jnp.asarray(vals))
     want = _scatter_oracle(H, W, C, yc, xc, inb, vals)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    # kernel accumulates via a bf16 hi/lo MXU split: ~2^-17 relative
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=3e-5)
 
 
 def test_hist_kernel_multi_tile_interpret():
@@ -76,7 +77,7 @@ def test_hist_kernel_multi_tile_interpret():
     x = jnp.asarray(xc, jnp.float32)
     got = hist(y, x, jnp.asarray(vals))
     want = _scatter_oracle(H, W, C, yc, xc, inb, vals)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=3e-5)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
@@ -91,4 +92,4 @@ def test_compiled_grad_matches_scatter_oracle_tpu():
 
     g = jax.jit(jax.grad(loss))(jnp.asarray(img))
     want = _scatter_oracle(*img.shape, yc, xc, inb, vals)
-    np.testing.assert_allclose(np.asarray(g), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=3e-5)
