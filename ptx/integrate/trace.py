@@ -641,28 +641,37 @@ import functools as _functools
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pack_scatter(cols, tgt, fill, cap):
-    """``broadcast(fill).at[tgt].set(cols)[:cap]`` with a hand-written
-    transpose.  Under plain autodiff, XLA's scatter jvp/transpose rules
-    materialize u32 (B, 12) index-bookkeeping arrays (~0.45 ms/step in
-    the profile); the actual VJP is just a gather of the cotangent at
-    ``tgt`` (drop-slot rows read a zero pad row)."""
-    out = jnp.broadcast_to(fill, (cap + 1,) + cols.shape[1:])
-    return out.at[tgt].set(cols)[:cap]
+def _pack_gather(cols, keep, tgt, cap):
+    """Pack ``cols`` rows where ``keep`` to the front of a ``cap``-wide
+    output — scatter-free in BOTH directions.
+
+    TPU scatters cost ~5× gathers at these row counts (profiler), so the
+    pack is a row gather at ``src = argsort(~keep)[:cap]`` (stable sort
+    puts kept lanes first in lane order; the bool sort is cheap) and the
+    hand-written transpose is a row gather of the cotangent at ``tgt``
+    (the cumsum pack position, drop slot reading a zero pad row).  When
+    fewer than ``cap`` lanes are kept, tail rows carry arbitrary dropped
+    lanes — callers mask them via the packed alive column.
+    """
+    src = jnp.argsort(~keep, stable=True)[:cap]
+    return cols[src], src
 
 
-def _pack_scatter_fwd(cols, tgt, fill, cap):
-    return _pack_scatter(cols, tgt, fill, cap), tgt
+def _pack_gather_fwd(cols, keep, tgt, cap):
+    return _pack_gather(cols, keep, tgt, cap), (keep, tgt)
 
 
-def _pack_scatter_bwd(cap, tgt, ct):
+def _pack_gather_bwd(cap, res, cts):
+    keep, tgt = res
+    ct, _ct_src = cts
     padded = jnp.concatenate(
         [ct, jnp.zeros((1,) + ct.shape[1:], ct.dtype)], axis=0)
-    # tgt ∈ [0, cap]; the drop slot cap reads the zero pad row
-    return padded[tgt], None, None
+    # kept rows read their pack position; dropped rows the zero pad row
+    safe_tgt = jnp.where(keep & (tgt < cap), tgt, cap)
+    return padded[safe_tgt], None, None
 
 
-_pack_scatter.defvjp(_pack_scatter_fwd, _pack_scatter_bwd)
+_pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
 
 
 def _compact_wavefront(carry, orig_idx, cap: int, key=None):
@@ -729,23 +738,28 @@ def _compact_wavefront(carry, orig_idx, cap: int, key=None):
         [strength, f32(alive),
          jax.lax.bitcast_convert_type(orig_idx, jnp.float32)], axis=-1))
     cols = jnp.concatenate([o, d, throughput * w, rest], axis=1)  # (B, 12)
-    # drop-slot fill: zeros everywhere except the orig sentinel (any
-    # value ≥ the ORIGINAL width; orig_idx shrinks per phase, so its own
-    # length is NOT safe as a sentinel)
-    fill = jnp.zeros((12,), jnp.float32).at[11].set(
-        jax.lax.bitcast_convert_type(jnp.int32(2 ** 31 - 1), jnp.float32))
-    out = _pack_scatter(cols, tgt, fill, cap)
+    out, _src = _pack_gather(cols, keep, tgt, cap)
 
-    new_alive = out[:, 10] > 0.5
+    # under-full packs carry arbitrary dropped rows at the tail — mask
+    # them dead (the gather-pack has no fill row)
+    n_keep = jnp.minimum(ncap, cap)
+    packed_live = jnp.arange(cap) < n_keep
+    new_alive = packed_live & (out[:, 10] > 0.5)
     new_carry = (
         out[:, 0:3],
         # filler lanes get a safe unit direction (guarded math downstream)
         out[:, 3:6].at[:, 2].add(jnp.where(new_alive, 0.0, -1.0)),
-        out[:, 6:9],
-        out[:, 9],
+        jnp.where(new_alive[:, None], out[:, 6:9], 0.0),
+        jnp.where(new_alive, out[:, 9], 0.0),
         new_alive,
     )
-    new_orig = jax.lax.bitcast_convert_type(out[:, 11], jnp.int32)
+    # drop sentinel on dead tail rows: any value ≥ the ORIGINAL width
+    # (orig_idx shrinks per phase, so its own length is NOT safe); the
+    # sentinel also keeps the orig vector nondecreasing for the radiance
+    # scatter's indices_are_sorted promise
+    new_orig = jnp.where(
+        new_alive, jax.lax.bitcast_convert_type(out[:, 11], jnp.int32),
+        jnp.int32(2 ** 31 - 1))
     return new_carry, new_orig
 
 
