@@ -63,9 +63,14 @@ from ptx.geom import tape
 _PAD_T = np.float32(3e20)
 
 # dense path above this leaf count pays quadratic memory; switch to the
-# candidate-blocked scan (tunable per compile via candidate_block)
-_DENSE_L_MAX = 24
-_DEFAULT_CANDIDATE_BLOCK = 8
+# candidate-blocked scan (tunable per compile via candidate_block).
+# Retuned on hardware (round 2, /tmp scale sweeps at B=65k): dense wins
+# through L=128 (L=64: 7.4 vs 5.7 Mrays/s; L=128: 3.2 vs 2.8) but its
+# (2L, L, B) compare tensors reach ~4 GB at L=128 × B=131k render
+# chunks, so the default stays memory-safe at 64; block 32 beats the old
+# block 8 by ~2× at every size measured.
+_DENSE_L_MAX = 64
+_DEFAULT_CANDIDATE_BLOCK = 32
 
 
 def collect_leaves(plan):

@@ -26,7 +26,7 @@ def measure(n_spheres, force_blocked=False, depth=4):
     t0 = time.perf_counter()
     scene = compile_scene(stress_spheres(n_spheres))
     if force_blocked:
-        scene.hit_fn = compile_fast_hit(scene.plan, candidate_block=8)
+        scene.hit_fn = compile_fast_hit(scene.plan, candidate_block=32)
         scene._manual_bounce = None
     L = len(collect_leaves(scene.plan))
     cam = Camera.reference_demo(512, 512)
@@ -39,19 +39,28 @@ def measure(n_spheres, force_blocked=False, depth=4):
         r = trace_rays(scene, scene.params, o, d, key, depth)
         return o + 1e-12 * r.sum(-1, keepdims=True)
 
-    x = step(o)
-    jax.block_until_ready(x)
+    import numpy as np
+    fetch = lambda a: np.asarray(a[:1, :1])   # bytes = the only real
+    x = step(o)                               # completion barrier here
+    fetch(x)
     compile_s = time.perf_counter() - t0
 
-    iters = 30
+    # two-point slope: the first timed region after compile is
+    # contaminated on this backend (see tools/roofline.py)
+    for _ in range(3):
+        x = step(x)
+    fetch(x)
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step(x)
-    jax.block_until_ready(x)
+    fetch(x)
     dt = (time.perf_counter() - t0) / iters
     B = o.shape[0]
     return {"spheres": n_spheres, "L": L,
-            "strategy": "blocked" if (force_blocked or L > 24) else "kernel",
+            "strategy": ("blocked" if force_blocked else
+                         "kernel" if L <= 24 else
+                         "dense" if L <= 64 else "blocked"),
             "compile_s": round(compile_s, 1),
             "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2)}
 
