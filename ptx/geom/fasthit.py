@@ -37,16 +37,21 @@ cascade.  No span-capacity ceiling, same gradients (boundary ``t``/
 normals differentiable, selection index stop-gradient).  Cross-checked
 against the span-merge path in tests/test_fasthit.py.
 
-Two evaluation strategies share the same semantics:
+Three evaluation strategies share the same semantics:
 
 - **dense** (small L): materialize the full (2L, L, B) compare tensors and
   per-leaf normal stacks in one shot — maximum fusion for the demo-scale
   scenes the Pallas kernel also covers;
-- **candidate-blocked** (large L): scan candidates in fixed-size blocks
-  (peak memory O(block·L·B)) carrying a running argmin, then recompute the
-  winner's normal with the O(1) selected-leaf replay (ptx.geom.hitreplay).
-  Memory O(L·B), no unrolled-code growth — the arbitrary-scale scene path
-  (``unionArray``-style scenes, /root/reference/src/test.cpp:52-64).
+- **candidate-blocked** (large L, any tape): scan candidates in fixed-size
+  blocks (peak memory O(block·L·B)) carrying a running argmin, then
+  recompute the winner's normal with the O(1) selected-leaf replay
+  (ptx.geom.hitreplay).  Memory O(L·B), no unrolled-code growth;
+- **union sweep** (large L, union-only tapes — the ``unionArray``
+  big-scene shape, /root/reference/src/test.cpp:52-64): for a pure union
+  the membership fold degenerates to interval coverage, so the first hit
+  falls out of a *sorted-interval sweep* in O(L log L) work per ray
+  instead of the O(L²) fold both other paths pay (which is the measured
+  compute wall at L≳128, STATUS.md).  See :func:`_compile_union_sweep`.
 """
 
 from __future__ import annotations
@@ -71,6 +76,22 @@ _PAD_T = np.float32(3e20)
 # block 8 by ~2× at every size measured.
 _DENSE_L_MAX = 64
 _DEFAULT_CANDIDATE_BLOCK = 32
+
+# union-only tapes above this leaf count route to the sorted-interval
+# sweep (O(L log L) vs the dense/blocked O(L²) fold); below it the dense
+# fold / Pallas kernel win on constant factors.
+_SWEEP_L_MIN = 24
+
+
+def tape_is_union_only(plan) -> bool:
+    """True iff every internal node of the tape is a union — the shape the
+    reference's ``unionArray`` builder produces for arbitrary-scale scenes
+    (/root/reference/src/test.cpp:52-64).  Nested unions are still one
+    flat union semantically, which is what the sweep path exploits."""
+    if isinstance(plan, tape._LeafPlan):
+        return True
+    return plan.op == "union" and all(
+        tape_is_union_only(c) for c in plan.children)
 
 
 def collect_leaves(plan):
@@ -210,6 +231,84 @@ def _leaf_intervals(leaves, params, ox, oy, oz, dx, dy, dz,
             tuple(st(c) for c in n0c), tuple(st(c) for c in n1c))
 
 
+def _leaf_intervals_grouped(leaves, params, ox, oy, oz, dx, dy, dz):
+    """(L, B) boundary intervals (no normals) computed *group-batched*:
+    untransformed spheres and planes each become ONE gathered, broadcast
+    computation over their whole group instead of L separate op groups —
+    O(1) program size in the group and a matmul-friendly layout.
+    Transformed leaves fall back to the per-leaf path.  Results are
+    returned in leaf order (semantically identical to
+    ``_leaf_intervals(..., with_normals=False)``; cross-checked in
+    tests/test_large_scenes.py via the sweep-vs-oracle tests)."""
+    idx_s, idx_p, idx_o = [], [], []
+    for i, (lf, _p) in enumerate(leaves):
+        if lf.xform_chain:
+            idx_o.append(i)
+        elif lf.kind == "sphere":
+            idx_s.append(i)
+        else:
+            idx_p.append(i)
+
+    L = len(leaves)
+    B = ox.shape[0]
+    parts_t0, parts_t1, order = [], [], []
+
+    if idx_s:
+        gi = np.array([leaves[i][0].index for i in idx_s])
+        c = params["sphere_center"][gi]                      # (Ls, 3)
+        r = params["sphere_radius"][gi]                      # (Ls,)
+        ocx = ox[None, :] - c[:, 0:1]
+        ocy = oy[None, :] - c[:, 1:2]
+        ocz = oz[None, :] - c[:, 2:3]
+        a = (dx * dx + dy * dy + dz * dz)[None, :]           # (1, B)
+        b = ocx * dx[None] + ocy * dy[None] + ocz * dz[None]
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - (r * r)[:, None]
+        disc = b * b - a * cc
+        ok = (disc > EPS) & (a != 0.0)
+        sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+        sa = jnp.where(a == 0.0, 1.0, a)
+        parts_t0.append(jnp.where(ok, (-b - sq) / sa, _PAD_T))
+        parts_t1.append(jnp.where(ok, (-b + sq) / sa, _PAD_T))
+        order += idx_s
+
+    if idx_p:
+        gi = np.array([leaves[i][0].index for i in idx_p])
+        n = params["plane_normal"][gi]                       # (Lp, 3)
+        dp = params["plane_d"][gi]                           # (Lp,)
+        o_mat = jnp.stack([ox, oy, oz])                      # (3, B)
+        d_mat = jnp.stack([dx, dy, dz])
+        divisor = n @ d_mat                                  # (Lp, B)
+        numer = -dp[:, None] - (n @ o_mat)
+        safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0, divisor)
+        t = numer / safe_div
+        degenerate = (jnp.abs(divisor) < EPS * EPS) | (
+            jnp.abs(t) >= MAX_VALUE)
+        on_boundary = jnp.abs(numer) < EPS * EPS
+        entering_half = divisor < 0.0
+        full = degenerate & on_boundary
+        ok = ~(degenerate & ~on_boundary)
+        t0 = jnp.where(full, -MAX_VALUE,
+                       jnp.where(entering_half, t, -MAX_VALUE))
+        t1 = jnp.where(full, MAX_VALUE,
+                       jnp.where(entering_half, MAX_VALUE, t))
+        parts_t0.append(jnp.where(ok, t0, _PAD_T))
+        parts_t1.append(jnp.where(ok, t1, _PAD_T))
+        order += idx_p
+
+    if idx_o:
+        t0, t1 = _leaf_intervals([leaves[i] for i in idx_o], params,
+                                 ox, oy, oz, dx, dy, dz, with_normals=False)
+        parts_t0.append(t0)
+        parts_t1.append(t1)
+        order += idx_o
+
+    t0 = jnp.concatenate(parts_t0, axis=0)
+    t1 = jnp.concatenate(parts_t1, axis=0)
+    inv = np.empty(L, np.int32)
+    inv[np.array(order)] = np.arange(L)
+    return t0[inv], t1[inv]
+
+
 def _bits_at(node, leaf_pos, bits):
     """Fold the boolean CSG tape over per-leaf membership bits of shape
     (..., L, B) → (..., B)."""
@@ -229,22 +328,30 @@ def _bits_at(node, leaf_pos, bits):
     return kids[0] & ~kids[1]
 
 
-def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None):
+def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
+                     sweep: bool | None = None):
     """Compile a tape plan (from tape.compile_geometry) into
     ``hit_fn(params, origin, dir) -> first-hit dict`` (same contract as
     ptx.integrate.trace.first_hit).
 
     Scaling: the dense path materializes (2L, L, B) compare tensors plus
     (L, B) normal stacks — perfect for the demo's L=13, quadratic-memory
-    hostile at L≈100+ (VERDICT round-1 missing #2).  When
-    ``candidate_block`` is set (or L exceeds ``_DENSE_L_MAX``), candidates
-    are scanned in blocks of that size with a running argmin — see module
-    docstring.  Cross-checked against the span-merge oracle at L=128
-    (tests/test_large_scenes.py)."""
+    hostile at L≈100+ (VERDICT round-1 missing #2).  Large union-only
+    tapes take the O(L log L) sorted-interval sweep
+    (:func:`_compile_union_sweep`); other large tapes scan candidates in
+    ``candidate_block``-size blocks with a running argmin — see module
+    docstring.  ``sweep``/``candidate_block`` force a strategy (tests
+    cross-check all of them against the span-merge oracle,
+    tests/test_large_scenes.py)."""
 
     # ---- flatten leaves with difference-B parity -------------------------
     leaves = collect_leaves(plan)
     L = len(leaves)
+    if sweep is None:
+        sweep = (candidate_block is None and L > _SWEEP_L_MIN
+                 and tape_is_union_only(plan))
+    if sweep:
+        return _compile_union_sweep(plan, leaves)
     if candidate_block is None and L > _DENSE_L_MAX:
         candidate_block = _DEFAULT_CANDIDATE_BLOCK
     if candidate_block:
@@ -339,8 +446,8 @@ def _compile_blocked_hit(plan, leaves, block: int):
         dx, dy, dz = (flat(direction[..., i]) for i in range(3))
         B = ox.shape[0]
 
-        t0, t1 = _leaf_intervals(leaves, params, ox, oy, oz, dx, dy, dz,
-                                 with_normals=False)
+        t0, t1 = _leaf_intervals_grouped(leaves, params,
+                                         ox, oy, oz, dx, dy, dz)
         t_evt = jnp.concatenate([t0, t1], axis=0)                # (2L, B)
         if pad:
             t_evt_p = jnp.concatenate(
@@ -402,6 +509,125 @@ def _compile_blocked_hit(plan, leaves, block: int):
             "entering": unflat(entering),
             "hit": unflat(hit),
             "_evt": unflat(evt.astype(jnp.int32)),
+        }
+
+    return hit_fn
+
+
+def _compile_union_sweep(plan, leaves):
+    """Sorted-interval sweep first hit for union-only tapes (strategy 3).
+
+    For a pure union, root membership at time ``t`` is plain interval
+    coverage: ``after(t) = ∃k: t0ₖ ≤ t < t1ₖ``.  Sorting the (valid) leaf
+    intervals by start collapses the whole membership fold into prefix
+    structure — no (2L, L) compare tensor at all:
+
+    - ``P[k] = max(e of intervals sorted before k)`` (exclusive prefix
+      max).  Interval ``k`` starts a NEW coverage chain iff ``s[k] > P[k]``
+      (touching intervals, ``s == P``, merge — the union-coalescing rule);
+      at such a *break* the prior chain ends exactly at ``P[k]``.
+    - boundary candidates therefore live only at breaks: an exit at
+      ``P[k]`` (if ≥ EPS) and an entry at ``s[k]`` (if ≥ EPS), plus the
+      final chain's exit at the total max end.  The first-hit walk is the
+      minimum candidate, exactly the dense path's
+      ``argmin over (root_after != root_before) & (t ≥ EPS)``.
+
+    Work per ray: one L-key sort + one log-depth prefix scan — O(L log L)
+    versus the O(L²) fold the dense/blocked paths pay (the measured
+    compute wall at L≳128).  Tie-breaks reproduce the dense argmin's
+    event-index order: the stable sort keeps equal-start intervals in
+    leaf order (entry ties → lowest leaf, the collect_leaves
+    coincident-boundary rule), and the prefix max prefers the lowest leaf
+    among equal ends (exit ties).  Selection is stop-gradient; the winner's
+    differentiable ``t``/normal come from the selected-leaf replay
+    (ptx.geom.hitreplay), as in the blocked path.
+    """
+    from ptx.geom import hitreplay
+
+    L = len(leaves)
+    parity_np = np.array([p for _, p in leaves], np.float32)
+    # union-only tapes have no difference-B sides: parity is all +1
+    assert (parity_np == 1.0).all()
+    mat_ids = jnp.asarray(np.array([lf.mat_id for lf, _ in leaves], np.int32))
+    replay = hitreplay.build_hit_replay(leaves, parity_np)
+    NEG = np.float32(-3e20)
+
+    def hit_fn(params, origin, direction):
+        batch_shape = origin.shape[:-1]
+        flat = lambda a: a.reshape((-1,))
+        ox, oy, oz = (flat(origin[..., i]) for i in range(3))
+        dx, dy, dz = (flat(direction[..., i]) for i in range(3))
+        B = ox.shape[0]
+
+        t0, t1 = _leaf_intervals_grouped(leaves, params,
+                                         ox, oy, oz, dx, dy, dz)
+        # selection is discrete — gradients flow only via the replay
+        t0 = jax.lax.stop_gradient(t0)
+        t1 = jax.lax.stop_gradient(t1)
+
+        # intervals ending before EPS can neither host nor cover any
+        # qualifying candidate; zero-length ones are invisible to the
+        # membership semantics (both bits flip inside one evaluation)
+        valid = (t0 < t1) & (t1 >= EPS)
+        s = jnp.where(valid, t0, _PAD_T)        # invalid sorts to the end
+        e = jnp.where(valid, t1, NEG)           # and never extends a chain
+
+        # leaf identity does NOT ride the sort or the scan: the winner's
+        # leaf is recovered afterwards from the UNSORTED intervals (one
+        # fused reduce) — t_star passes through max/min only, so the
+        # equality test below is bitwise-exact.  Keeps the sort 2-operand
+        # and the prefix scan 1-operand (each (L, B) operand is ~67 MB of
+        # HBM traffic per pass at render batch sizes).
+        s_s, e_s = jax.lax.sort((s, e), dimension=0, num_keys=1,
+                                is_stable=True)
+
+        inc_e = jax.lax.associative_scan(jnp.maximum, e_s, axis=0)
+        P_e = jnp.concatenate([jnp.full((1, B), NEG), inc_e[:-1]], axis=0)
+
+        is_break = (s_s < 2e20) & (s_s > P_e)
+        # entry candidate at each break's start, exit candidate at each
+        # break's prior-chain end, plus the final chain's exit
+        te = jnp.min(jnp.where(is_break & (s_s >= EPS), s_s, _PAD_T),
+                     axis=0)
+        tx = jnp.min(jnp.where(is_break & (P_e >= EPS), P_e, _PAD_T),
+                     axis=0)
+        tx = jnp.minimum(
+            tx, jnp.where(inc_e[-1] >= EPS, inc_e[-1], _PAD_T))
+
+        # an entry and an exit can only collide at unequal breaks where
+        # the entry came first — dense resolves the same way (entry
+        # events carry the lower indices)
+        entering = te <= tx
+        t_star = jnp.minimum(te, tx)
+        found = t_star < 2e20
+        escaped = t_star >= MAX_VALUE
+        hit = found & ~escaped
+
+        # winner's leaf: min leaf whose (start | end) equals t_star —
+        # exactly the dense argmin's event-order tie-break (lowest leaf
+        # among same-type events at the winning t; cross-type collisions
+        # cannot occur at one boundary, see above)
+        lf = jnp.arange(L, dtype=jnp.int32)[:, None]
+        t_match = jnp.where(entering, t0, t1)
+        leaf_star = jnp.min(
+            jnp.where(valid & (t_match == t_star[None, :]), lf, L), axis=0)
+        leaf_star = jnp.minimum(leaf_star, L - 1)       # miss lanes clamp
+        evt = jnp.where(hit, jnp.where(entering, leaf_star, L + leaf_star),
+                        0).astype(jnp.int32)
+
+        t_rep, normal = replay(params, origin.reshape(-1, 3),
+                               direction.reshape(-1, 3), evt, entering, hit)
+        mat_id = mat_ids[jnp.where(evt >= L, evt - L, evt)]
+
+        unflat = lambda a: a.reshape(batch_shape)
+        return {
+            "t": unflat(t_rep),
+            "normal": normal.reshape(batch_shape + (3,)),
+            "mat_id": jax.lax.stop_gradient(
+                unflat(jnp.where(hit, mat_id, 0))),
+            "entering": unflat(entering),
+            "hit": unflat(hit),
+            "_evt": unflat(evt),
         }
 
     return hit_fn

@@ -36,11 +36,44 @@ ROW = 26
 
 def leaf_rows(leaves, params):
     """Differentiable (L, 26) packed parameter rows for ``leaves`` (the
-    (leaf, parity) list from ptx.geom.fasthit.collect_leaves)."""
-    eye_w = jnp.eye(3, 4).reshape(-1)
-    eye_n = jnp.eye(3).reshape(-1)
-    rows = []
-    for lf, _p in leaves:
+    (leaf, parity) list from ptx.geom.fasthit.collect_leaves).
+
+    Group-batched: untransformed spheres / planes each pack through ONE
+    gather + concat over their whole group (a per-leaf stack of 26-wide
+    rows costs real milliseconds at L≈256 — every row is a separate
+    tile-padded copy); transformed leaves keep the per-leaf compose
+    chain."""
+    idx_s, idx_p, idx_o = [], [], []
+    for i, (lf, _p) in enumerate(leaves):
+        if lf.xform_chain:
+            idx_o.append(i)
+        elif lf.kind == "sphere":
+            idx_s.append(i)
+        else:
+            idx_p.append(i)
+
+    parts, order = [], []
+    eye_tail = jnp.concatenate([jnp.eye(3, 4).reshape(-1),
+                                jnp.eye(3).reshape(-1)])
+    if idx_s:
+        gi = np.array([leaves[i][0].index for i in idx_s])
+        c = params["sphere_center"][gi]                       # (Ls, 3)
+        r = params["sphere_radius"][gi][:, None]              # (Ls, 1)
+        zed = jnp.zeros_like(r)
+        tail = jnp.broadcast_to(eye_tail, (len(gi), 21))
+        parts.append(jnp.concatenate([c, r, zed, tail], axis=1))
+        order += idx_s
+    if idx_p:
+        gi = np.array([leaves[i][0].index for i in idx_p])
+        n = params["plane_normal"][gi]                        # (Lp, 3)
+        d = params["plane_d"][gi][:, None]
+        inv_mag = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.sum(n * n, axis=1, keepdims=True), 1e-30))
+        tail = jnp.broadcast_to(eye_tail, (len(gi), 21))
+        parts.append(jnp.concatenate([n, d, inv_mag, tail], axis=1))
+        order += idx_p
+    for i in idx_o:
+        lf, _p = leaves[i]
         if lf.kind == "sphere":
             c = params["sphere_center"][lf.index]
             r = params["sphere_radius"][lf.index]
@@ -50,17 +83,19 @@ def leaf_rows(leaves, params):
             d = params["plane_d"][lf.index]
             inv_mag = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(n * n), 1e-30))
             head = jnp.concatenate([n, d[None], inv_mag[None]])
-        if lf.xform_chain:
-            w = params["xform"][lf.xform_chain[0]]
-            for i in lf.xform_chain[1:]:
-                w = linalg.compose(w, params["xform"][i])
-            w_inv = linalg.inverse(w)
-            tail = jnp.concatenate([w_inv.reshape(-1),
-                                    jnp.transpose(w_inv[:, :3]).reshape(-1)])
-        else:
-            tail = jnp.concatenate([eye_w, eye_n])
-        rows.append(jnp.concatenate([head, tail]))
-    return jnp.stack(rows)                       # (L, 26)
+        w = params["xform"][lf.xform_chain[0]]
+        for j in lf.xform_chain[1:]:
+            w = linalg.compose(w, params["xform"][j])
+        w_inv = linalg.inverse(w)
+        tail = jnp.concatenate([w_inv.reshape(-1),
+                                jnp.transpose(w_inv[:, :3]).reshape(-1)])
+        parts.append(jnp.concatenate([head, tail])[None])
+        order.append(i)
+
+    rows = jnp.concatenate(parts, axis=0)
+    inv = np.empty(len(leaves), np.int32)
+    inv[np.array(order)] = np.arange(len(leaves))
+    return rows[inv]                             # (L, 26)
 
 
 def build_hit_replay(leaves, parity_np=None):

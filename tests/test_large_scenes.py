@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import pytest
 
 from ptx.geom.fasthit import (collect_leaves, compile_fast_hit,
-                              _DENSE_L_MAX)
+                              tape_is_union_only, _DENSE_L_MAX)
 from ptx.integrate.trace import compile_scene, first_hit, trace_rays
 from ptx.scenes.builders import stress_spheres
 
@@ -44,10 +44,9 @@ def test_blocked_hit_matches_spans_oracle(n):
     scene = compile_scene(world, pallas=False)
     L = len(collect_leaves(scene.plan))
     assert L == n + 7
-    # force the blocked strategy regardless of the dense-path cutover
-    # (retuned to 64 in round 2) — this test is about the blocked scan
-    hit_fn = (scene.hit_fn if L > _DENSE_L_MAX
-              else compile_fast_hit(scene.plan, candidate_block=32))
+    # force the blocked strategy regardless of the auto-pick (union-only
+    # tapes now default to the sweep) — this test is about the blocked scan
+    hit_fn = compile_fast_hit(scene.plan, candidate_block=32)
     o, d = _rays(256)
     got = jax.jit(hit_fn)(scene.params, o, d)
     want = first_hit(scene.spans_fn(scene.params, o, d))
@@ -84,3 +83,91 @@ def test_large_scene_renders_and_differentiates():
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.abs(np.asarray(grads["sphere_radius"])).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# union-sweep strategy (O(L log L) sorted-interval path)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [57, 121])
+def test_union_sweep_matches_spans_oracle(n):
+    world = stress_spheres(n)
+    scene = compile_scene(world, pallas=False)
+    assert tape_is_union_only(scene.plan)
+    hit_fn = compile_fast_hit(scene.plan, sweep=True)
+    o, d = _rays(256)
+    got = jax.jit(hit_fn)(scene.params, o, d)
+    want = first_hit(scene.spans_fn(scene.params, o, d))
+    assert int(np.asarray(got["hit"]).sum()) > 50
+    _assert_hits_match(got, want)
+
+
+def test_union_sweep_matches_dense_evt():
+    """Event-for-event agreement with the dense fold — including the
+    argmin tie-break order — on a scene with coincident boundaries
+    (duplicated spheres) and rays from inside geometry."""
+    from ptx.scenes.builders import union_array, sky_planes
+    from ptx.geom.tape import Sphere, Plane
+    from ptx.shade.materials import Material
+
+    m1 = Material(reflect=(0.8, 0.3, 0.3), scatter=1.0)
+    m2 = Material(reflect=(0.3, 0.8, 0.3), scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    world = union_array([
+        Sphere((0.0, 0.0, -3.0), 1.0, m1),
+        Sphere((0.0, 0.0, -3.0), 1.0, m2),      # identical — entry/exit ties
+        Sphere((0.5, 0.0, -3.5), 1.0, m2),      # overlapping chain
+        Sphere((0.0, 0.0, -5.0), 1.0, m1),      # touching along the axis
+        Plane((0.0, 1.0, 0.0), 1.0, m1),
+        *sky_planes(sky),
+    ])
+    scene = compile_scene(world, pallas=False)
+    dense = compile_fast_hit(scene.plan, candidate_block=0, sweep=False)
+    swept = compile_fast_hit(scene.plan, sweep=True)
+    g = np.random.default_rng(3)
+    # origins inside/outside the overlap region, axis-aligned + random dirs
+    o = np.concatenate([np.zeros((256, 3)),
+                        np.array([[0.0, 0.0, -3.0]] * 64),
+                        g.uniform(-2, 2, (192, 3))]).astype(np.float32)
+    d = np.concatenate([
+        np.stack([g.uniform(-1, 1, 256), g.uniform(-1, 1, 256),
+                  np.full(256, -1.0)], -1),
+        np.array([[0.0, 0.0, -1.0]] * 64),
+        g.normal(size=(192, 3)),
+    ]).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = jax.jit(swept)(scene.params, o, d)
+    b = jax.jit(dense)(scene.params, o, d)
+    _assert_hits_match(a, b)
+    np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                  np.asarray(b["_evt"]))
+
+
+def test_union_sweep_auto_selected_and_differentiates():
+    """compile_scene auto-picks the sweep for large union-only tapes; the
+    full trace + manual-VJP pipeline stays finite through it."""
+    world = stress_spheres(96)
+    scene = compile_scene(world, pallas=False)
+    # auto-pick: union-only and L=103 > _SWEEP_L_MIN → sweep (no scan in
+    # the jaxpr, unlike the blocked path)
+    jaxpr = jax.make_jaxpr(
+        lambda p, o, d: scene.hit_fn(p, o, d)["t"])(
+            scene.params, jnp.zeros((8, 3)), jnp.ones((8, 3)))
+    assert "sort" in str(jaxpr)
+    o, d = _rays(128, seed=5)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params):
+        return jnp.mean(trace_rays(scene, params, o, d, key, depth=3))
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(scene.params)
+    assert np.isfinite(float(val)) and float(val) > 0.01
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(grads["sphere_radius"])).max() > 0
+
+
+def test_demo_scene_is_not_union_only():
+    from ptx.scenes.builders import make_world
+    scene = compile_scene(make_world(), pallas=False)
+    assert not tape_is_union_only(scene.plan)

@@ -28,6 +28,8 @@ def measure(n_spheres, force_blocked=False, depth=4):
     if force_blocked:
         scene.hit_fn = compile_fast_hit(scene.plan, candidate_block=32)
         scene._manual_bounce = None
+        scene.bounce_fn = None          # else the fused bounce kernel
+        scene.bounce_bwd_fn = None      # bypasses hit_fn entirely
     L = len(collect_leaves(scene.plan))
     cam = Camera.reference_demo(512, 512)
     key = jax.random.PRNGKey(0)
@@ -57,10 +59,13 @@ def measure(n_spheres, force_blocked=False, depth=4):
     fetch(x)
     dt = (time.perf_counter() - t0) / iters
     B = o.shape[0]
+    from ptx.geom.fasthit import tape_is_union_only, _SWEEP_L_MIN
+    auto = ("kernel" if L <= 24 else
+            "sweep" if (L > _SWEEP_L_MIN
+                        and tape_is_union_only(scene.plan)) else
+            "dense" if L <= 64 else "blocked")
     return {"spheres": n_spheres, "L": L,
-            "strategy": ("blocked" if force_blocked else
-                         "kernel" if L <= 24 else
-                         "dense" if L <= 64 else "blocked"),
+            "strategy": "blocked" if force_blocked else auto,
             "compile_s": round(compile_s, 1),
             "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2)}
 
