@@ -578,14 +578,24 @@ def _make_manual_bounce(scene: CompiledScene):
     forward↔backward gap (VERDICT #1)."""
 
     def _ys(o, d, throughput, alive, dec):
-        """Per-bounce emission inputs for the post-scan radiance sum:
-        (pos, mat_id, live, thr).  pos is built from the FROZEN t and
-        carries no gradient (d emissive/d pos ≡ 0 through nearest-texel
-        gathers); thr is the bounce-input throughput (identity — its ys
-        cotangent adds straight to the thr input cotangent)."""
+        """Per-bounce emission inputs for the post-scan radiance sum,
+        packed into ONE (B, 8) array: pos (3) | thr (3) | mat_id | live.
+        ONE scan output = ONE dynamic_update_slice per bounce instead of
+        four — each dus dispatch costs ~6 µs of fixed overhead on this
+        backend (profiler: ys stacking was ~0.5 ms of the 5 ms forward as
+        4 separate buffers).  pos is built from the FROZEN t and carries
+        no gradient (d emissive/d pos ≡ 0 through nearest-texel gathers);
+        thr is the bounce-input throughput (identity — its ys cotangent
+        adds straight to the thr input cotangent; it sits at columns 3:6,
+        a layout-preserving (B, 3) slice in the transpose — see the
+        (B, 1)-padding rule in docs/perf_roofline.md).  mat_id/live ride
+        as small-int-exact f32 casts under stop_gradient."""
         sg = jax.lax.stop_gradient
         pos = sg(o + dec["t"][..., None] * d)
-        return (pos, dec["mat_id"], alive & dec["hit"], throughput)
+        tail = sg(jnp.stack(
+            [dec["mat_id"].astype(jnp.float32),
+             (alive & dec["hit"]).astype(jnp.float32)], axis=-1))
+        return jnp.concatenate([pos, throughput, tail], axis=-1)
 
     @jax.custom_vjp
     def bounce_step(params, o, d, throughput, strength, alive,
@@ -607,8 +617,9 @@ def _make_manual_bounce(scene: CompiledScene):
         params, o, d, throughput, strength, alive, dec, k, in_depth = res
         (ct_o, ct_d, ct_thr, ct_stg, _ct_alive), ct_ys = ct
         # ys cotangents: pos is declared gradient-free (exact — see _ys);
-        # thr is an identity output so its cotangent adds directly
-        ct_thr_ys = ct_ys[3]
+        # thr (packed columns 3:6) is an identity output so its cotangent
+        # adds directly
+        ct_thr_ys = ct_ys[:, 3:6]
 
         if scene.bounce_bwd_fn is not None:
             # Fused replay-VJP kernel (ptx.ops.bounce_kernel): carry and
@@ -848,8 +859,12 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             out, dec = _bounce_live(scene, params, o, d, throughput,
                                     strength, alive, k,
                                     bounce_idx < depth, use_fused=False)
-            ys = (jax.lax.stop_gradient(o + dec["t"][..., None] * d),
-                  dec["mat_id"], alive & dec["hit"], throughput)
+            sg = jax.lax.stop_gradient
+            ys = jnp.concatenate(
+                [sg(o + dec["t"][..., None] * d), throughput,
+                 sg(jnp.stack([dec["mat_id"].astype(jnp.float32),
+                               (alive & dec["hit"]).astype(jnp.float32)],
+                              axis=-1))], axis=-1)
             return out, ys
         if remat:
             bounce = jax.checkpoint(bounce)  # O(1) residuals/bounce
@@ -891,14 +906,19 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     # autodiff handles the emissive parameter gradients here; the bounce
     # custom-VJP never sees them.
     em_eval = scene.emission_fn or scene.material_fn.eval_emissive
+    ys_cat = jnp.concatenate([ys.reshape(-1, 8) for ys, _ in saved])
+    # pos re-enters stop_gradient HERE: the packed ys is differentiable as
+    # a whole (thr columns), so a bare pos slice would re-open a pos
+    # cotangent chain through the emission trig — wasted transposes over
+    # every post-scan lane (d emissive/d pos ≡ 0 through nearest gathers)
     em_cat = em_eval(
-        params,
-        jnp.concatenate([ys[0].reshape(-1, 3) for ys, _ in saved]),
-        jnp.concatenate([ys[1].reshape(-1) for ys, _ in saved]))
+        params, jax.lax.stop_gradient(ys_cat[:, 0:3]),
+        jax.lax.stop_gradient(ys_cat[:, 6]).astype(jnp.int32))
     ofs = 0
     for pi, (ys, orig) in enumerate(saved):
-        pos, mid, live, thr = ys
-        nb, Bp = mid.shape
+        nb, Bp, _ = ys.shape
+        thr = ys[..., 3:6]
+        live = ys[..., 7] > 0.5
         em = em_cat[ofs:ofs + nb * Bp].reshape(nb, Bp, 3)
         ofs += nb * Bp
         contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
