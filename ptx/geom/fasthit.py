@@ -77,10 +77,15 @@ _PAD_T = np.float32(3e20)
 _DENSE_L_MAX = 64
 _DEFAULT_CANDIDATE_BLOCK = 32
 
-# union-only tapes above this leaf count route to the sorted-interval
-# sweep (O(L log L) vs the dense/blocked O(L²) fold); below it the dense
-# fold / Pallas kernel win on constant factors.
+# union-decomposable tapes above this leaf count route to the
+# sorted-interval sweep (O(L log L) vs the dense/blocked O(L²) fold);
+# below it the dense fold / Pallas kernel win on constant factors.
 _SWEEP_L_MIN = 24
+# a top-level union operand ("group") may be a compound CSG gadget of up
+# to this many leaves — its coverage intervals come from a small local
+# membership fold (O(m²) per group, m bounded ⇒ total O(L·m)); bigger
+# gadgets push the whole tape to the candidate-blocked path.
+_SWEEP_GROUP_MAX = 12
 
 
 def tape_is_union_only(plan) -> bool:
@@ -92,6 +97,25 @@ def tape_is_union_only(plan) -> bool:
         return True
     return plan.op == "union" and all(
         tape_is_union_only(c) for c in plan.children)
+
+
+def union_decompose(plan):
+    """Split the tape into its maximal top-level union operands
+    ("groups"): leaves and non-union-rooted subtrees.  A big scene built
+    the reference way — ``unionArray`` over gadgets that are themselves
+    small CSG solids (lenses, bulbs; test.cpp:52-64,126-144) — decomposes
+    into many small groups, which is what the group sweep scales over."""
+    groups = []
+
+    def walk(node):
+        if (not isinstance(node, tape._LeafPlan)) and node.op == "union":
+            for c in node.children:
+                walk(c)
+        else:
+            groups.append(node)
+
+    walk(plan)
+    return groups
 
 
 def collect_leaves(plan):
@@ -348,8 +372,11 @@ def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
     leaves = collect_leaves(plan)
     L = len(leaves)
     if sweep is None:
+        groups = union_decompose(plan)
+        gmax = max((1 if isinstance(g, tape._LeafPlan)
+                    else len(collect_leaves(g))) for g in groups)
         sweep = (candidate_block is None and L > _SWEEP_L_MIN
-                 and tape_is_union_only(plan))
+                 and len(groups) > 1 and gmax <= _SWEEP_GROUP_MAX)
     if sweep:
         return _compile_union_sweep(plan, leaves)
     if candidate_block is None and L > _DENSE_L_MAX:
@@ -515,12 +542,26 @@ def _compile_blocked_hit(plan, leaves, block: int):
 
 
 def _compile_union_sweep(plan, leaves):
-    """Sorted-interval sweep first hit for union-only tapes (strategy 3).
+    """Sorted-interval sweep first hit for union-decomposable tapes
+    (strategy 3) — ``Union(g₁ … g_K)`` where each group ``g`` is a leaf or
+    a small CSG gadget (≤ _SWEEP_GROUP_MAX leaves): the reference's
+    big-scene shape, ``unionArray`` over primitives AND compound solids
+    (lenses/bulbs, test.cpp:52-64,126-144).
 
-    For a pure union, root membership at time ``t`` is plain interval
-    coverage: ``after(t) = ∃k: t0ₖ ≤ t < t1ₖ``.  Sorting the (valid) leaf
-    intervals by start collapses the whole membership fold into prefix
-    structure — no (2L, L) compare tensor at all:
+    Root membership at time ``t`` is interval coverage over the pooled
+    *group* intervals: ``after(t) = ∃k: sₖ ≤ t < eₖ``.  Leaf groups
+    contribute their primitive interval directly; a compound group's
+    coverage intervals come from a LOCAL membership fold over just its
+    own ``m`` leaves (two (2m, m, B) compare tensors + the group tape —
+    O(m²) work, m bounded) followed by rank-pairing: coverage is a union
+    of disjoint intervals, so the k-th smallest entry event pairs with
+    the k-th smallest exit event.  Coincident boundary events inside a
+    group classify identically (bits are a function of ``t`` alone), so
+    duplicates are removed adjacent-equal after the sort to keep the
+    pairing aligned.
+
+    Sorting the pooled (valid) intervals by start collapses the global
+    membership fold into prefix structure — no (2L, L) compare tensor:
 
     - ``P[k] = max(e of intervals sorted before k)`` (exclusive prefix
       max).  Interval ``k`` starts a NEW coverage chain iff ``s[k] > P[k]``
@@ -532,13 +573,14 @@ def _compile_union_sweep(plan, leaves):
       minimum candidate, exactly the dense path's
       ``argmin over (root_after != root_before) & (t ≥ EPS)``.
 
-    Work per ray: one L-key sort + one log-depth prefix scan — O(L log L)
-    versus the O(L²) fold the dense/blocked paths pay (the measured
-    compute wall at L≳128).  Tie-breaks reproduce the dense argmin's
-    event-index order: the stable sort keeps equal-start intervals in
-    leaf order (entry ties → lowest leaf, the collect_leaves
-    coincident-boundary rule), and the prefix max prefers the lowest leaf
-    among equal ends (exit ties).  Selection is stop-gradient; the winner's
+    Work per ray: O(L·m) local folds + one ≤L-key sort + one log-depth
+    prefix scan — versus the O(L²) fold the dense/blocked paths pay (the
+    measured compute wall at L≳128).  Every boundary of the root solid is
+    bitwise some leaf's ``t0``/``t1`` (sorts/max/min are value-preserving),
+    so the winner's payload is recovered from the *unsorted* leaf
+    intervals by equality match — min leaf index among starts first, then
+    ends, which is the dense argmin's event-index tie-break (start events
+    carry indices < L).  Selection is stop-gradient; the winner's
     differentiable ``t``/normal come from the selected-leaf replay
     (ptx.geom.hitreplay), as in the blocked path.
     """
@@ -546,11 +588,23 @@ def _compile_union_sweep(plan, leaves):
 
     L = len(leaves)
     parity_np = np.array([p for _, p in leaves], np.float32)
-    # union-only tapes have no difference-B sides: parity is all +1
-    assert (parity_np == 1.0).all()
     mat_ids = jnp.asarray(np.array([lf.mat_id for lf, _ in leaves], np.int32))
     replay = hitreplay.build_hit_replay(leaves, parity_np)
     NEG = np.float32(-3e20)
+
+    # compile-time group table: leaf groups batch into one direct slice;
+    # compound groups carry (subplan, global row indices, local positions)
+    leaf_pos = {id(lf): i for i, (lf, _) in enumerate(leaves)}
+    leaf_rows, compound = [], []
+    for g in union_decompose(plan):
+        if isinstance(g, tape._LeafPlan):
+            leaf_rows.append(leaf_pos[id(g)])
+        else:
+            sub = collect_leaves(g)
+            gidx = np.array([leaf_pos[id(lf)] for lf, _ in sub])
+            local_pos = {id(lf): j for j, (lf, _) in enumerate(sub)}
+            compound.append((g, gidx, local_pos))
+    leaf_rows = np.array(leaf_rows, np.int32)
 
     def hit_fn(params, origin, direction):
         batch_shape = origin.shape[:-1]
@@ -565,12 +619,36 @@ def _compile_union_sweep(plan, leaves):
         t0 = jax.lax.stop_gradient(t0)
         t1 = jax.lax.stop_gradient(t1)
 
+        parts_s = [t0[leaf_rows]] if len(leaf_rows) else []
+        parts_e = [t1[leaf_rows]] if len(leaf_rows) else []
+        for gplan, gidx, local_pos in compound:
+            m = len(gidx)
+            gt0, gt1 = t0[gidx], t1[gidx]                    # (m, B)
+            ev = jnp.concatenate([gt0, gt1], axis=0)         # (2m, B)
+            ts = ev[:, None, :]
+            after = (gt0[None] <= ts) & (ts < gt1[None])     # (2m, m, B)
+            before = (gt0[None] < ts) & (ts <= gt1[None])
+            ra = _bits_at(gplan, local_pos, after)           # (2m, B)
+            rb = _bits_at(gplan, local_pos, before)
+            bnd = ra != rb
+            ent = jax.lax.sort(jnp.where(bnd & ra, ev, _PAD_T), dimension=0)
+            exi = jax.lax.sort(jnp.where(bnd & ~ra, ev, _PAD_T), dimension=0)
+            # coincident events all classify the same way — drop
+            # adjacent-equal duplicates, re-sort to restore rank pairing
+            dedup = lambda a: jax.lax.sort(jnp.concatenate(
+                [a[:1], jnp.where(a[1:] == a[:-1], _PAD_T, a[1:])], axis=0),
+                dimension=0)
+            parts_s.append(dedup(ent)[:m])
+            parts_e.append(dedup(exi)[:m])
+        s = jnp.concatenate(parts_s, axis=0)                 # (S, B), S ≤ L
+        e = jnp.concatenate(parts_e, axis=0)
+
         # intervals ending before EPS can neither host nor cover any
         # qualifying candidate; zero-length ones are invisible to the
         # membership semantics (both bits flip inside one evaluation)
-        valid = (t0 < t1) & (t1 >= EPS)
-        s = jnp.where(valid, t0, _PAD_T)        # invalid sorts to the end
-        e = jnp.where(valid, t1, NEG)           # and never extends a chain
+        valid = (s < e) & (e >= EPS)
+        s = jnp.where(valid, s, _PAD_T)         # invalid sorts to the end
+        e = jnp.where(valid, e, NEG)            # and never extends a chain
 
         # leaf identity does NOT ride the sort or the scan: the winner's
         # leaf is recovered afterwards from the UNSORTED intervals (one
@@ -603,16 +681,23 @@ def _compile_union_sweep(plan, leaves):
         escaped = t_star >= MAX_VALUE
         hit = found & ~escaped
 
-        # winner's leaf: min leaf whose (start | end) equals t_star —
-        # exactly the dense argmin's event-order tie-break (lowest leaf
-        # among same-type events at the winning t; cross-type collisions
-        # cannot occur at one boundary, see above)
+        # winner's payload: min leaf whose raw start (then end) equals
+        # t_star.  Every event at exactly t_star is a dense candidate
+        # (membership bits are a function of t alone, and the root flips
+        # at t_star), so this IS the dense argmin's event-index tie-break:
+        # start events carry indices < L, so any start match beats every
+        # end match.  In compound groups an ENTERING root boundary can be
+        # generated by a leaf's END event (a difference's cut surface
+        # takes B's boundary, span.h:100-112) — which the evt encoding
+        # (leaf vs L+leaf) captures independently of ``entering``.
         lf = jnp.arange(L, dtype=jnp.int32)[:, None]
-        t_match = jnp.where(entering, t0, t1)
-        leaf_star = jnp.min(
-            jnp.where(valid & (t_match == t_star[None, :]), lf, L), axis=0)
-        leaf_star = jnp.minimum(leaf_star, L - 1)       # miss lanes clamp
-        evt = jnp.where(hit, jnp.where(entering, leaf_star, L + leaf_star),
+        m_start = jnp.min(
+            jnp.where(t0 == t_star[None, :], lf, L), axis=0)
+        m_end = jnp.min(
+            jnp.where(t1 == t_star[None, :], lf, L), axis=0)
+        use_start = m_start < L
+        leaf_star = jnp.where(use_start, m_start, jnp.minimum(m_end, L - 1))
+        evt = jnp.where(hit, jnp.where(use_start, leaf_star, L + leaf_star),
                         0).astype(jnp.int32)
 
         t_rep, normal = replay(params, origin.reshape(-1, 3),

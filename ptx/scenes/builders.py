@@ -163,6 +163,55 @@ def stress_spheres(n: int, seed: int = 0):
     ])
 
 
+def stress_gadgets(n: int, seed: int = 0):
+    """Mixed-CSG stress scene: ``n`` compound gadgets in a jittered grid
+    over a ground plane under an emissive sky.  Gadgets cycle through the
+    reference driver's compound vocabulary (test.cpp:126-144): a biconvex
+    glass lens (sphere ∩ sphere), a glass bulb with emissive core
+    (sphere ∩ (plane ∪ sphere)), and a diffuse sphere with a spherical
+    bite taken out (sphere − sphere — exercises difference-B payloads at
+    scale).  This is the ``unionArray``-over-solids big-scene shape the
+    group-sweep first hit (ptx.geom.fasthit) scales over; leaves ≈ 2.3·n
+    + 7."""
+    rng = np.random.default_rng(seed)
+    glass = Material(reflect=0.7, scatter=0.0, transmit=0.9, ior=1.3,
+                     transmit_reflect=1.0)
+    diffuse = [
+        Material(reflect=(0.8, 0.3, 0.3), scatter=1.0),
+        Material(reflect=(0.3, 0.8, 0.3), scatter=1.0),
+    ]
+    emit = Material(reflect=0.0, scatter=0.0, emissive=(2.0, 1.8, 1.2))
+    side = max(1, int(math.ceil(math.sqrt(n))))
+    gadgets = []
+    for i in range(n):
+        gx, gz = i % side, i // side
+        x = (gx - (side - 1) / 2) * 1.6 + rng.uniform(-0.3, 0.3)
+        z = -3.0 - gz * 1.6 + rng.uniform(-0.3, 0.3)
+        r = rng.uniform(0.3, 0.55)
+        c = (x, -1.0 + r, z)
+        kind = i % 3
+        if kind == 0:
+            gadgets.append(make_lens(c, (0.0, 0.3, 1.0), 0.6 * r,
+                                     1.2 * r, glass))
+        elif kind == 1:
+            gadgets.append(Intersection(
+                Sphere(c, r, glass),
+                Union(Plane.from_point((-1.0, 0.0, -0.7), c, glass),
+                      Sphere(c, 0.3 * r, emit))))
+        else:
+            bite = (c[0] + 0.6 * r, c[1] + 0.4 * r, c[2] + 0.5 * r)
+            gadgets.append(Difference(
+                Sphere(c, r, diffuse[i % 2]),
+                Sphere(bite, 0.6 * r, diffuse[(i + 1) % 2])))
+    ground = Material(reflect=0.6, scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    return union_array([
+        *gadgets,
+        Plane((0.0, 1.0, 0.0), 1.0, ground),
+        *sky_planes(sky),
+    ])
+
+
 def baseline_config1():
     """BASELINE config #1: single diffuse sphere + ground plane, constant
     sky — the minimum end-to-end slice."""

@@ -171,3 +171,83 @@ def test_demo_scene_is_not_union_only():
     from ptx.scenes.builders import make_world
     scene = compile_scene(make_world(), pallas=False)
     assert not tape_is_union_only(scene.plan)
+
+
+# ---------------------------------------------------------------------------
+# group sweep: union of compound CSG gadgets (lenses / bulbs / differences)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [16, 48])
+def test_group_sweep_matches_spans_oracle(n):
+    """Mixed-CSG big scenes (unionArray over compound solids — the
+    reference's test.cpp:52-64,126-144 shape) take the sorted-interval
+    sweep: compound groups' coverage intervals come from local membership
+    folds + rank pairing.  Must agree with the span-merge oracle."""
+    from ptx.scenes.builders import stress_gadgets
+    world = stress_gadgets(n)
+    scene = compile_scene(world, pallas=False)
+    assert not tape_is_union_only(scene.plan)
+    hit_fn = compile_fast_hit(scene.plan, sweep=True)
+    o, d = _rays(384)
+    got = jax.jit(hit_fn)(scene.params, o, d)
+    want = first_hit(scene.spans_fn(scene.params, o, d))
+    assert int(np.asarray(got["hit"]).sum()) > 100
+    _assert_hits_match(got, want)
+
+
+def test_group_sweep_matches_dense_evt():
+    """Event-for-event agreement with the dense fold on compound groups,
+    including difference-cut boundaries (an ENTERING root boundary
+    generated by a leaf END event) and rays originating inside gadgets."""
+    from ptx.scenes.builders import stress_gadgets
+    world = stress_gadgets(9, seed=4)
+    scene = compile_scene(world, pallas=False)
+    dense = compile_fast_hit(scene.plan, candidate_block=0, sweep=False)
+    swept = compile_fast_hit(scene.plan, sweep=True)
+    g = np.random.default_rng(7)
+    o = np.concatenate([np.zeros((256, 3)),
+                        g.uniform(-3, 3, (256, 3))]).astype(np.float32)
+    o[:, 2] -= 2.0
+    d = np.concatenate([
+        np.stack([g.uniform(-1, 1, 256), g.uniform(-1, 0.2, 256),
+                  np.full(256, -1.0)], -1),
+        g.normal(size=(256, 3)),
+    ]).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = jax.jit(swept)(scene.params, o, d)
+    b = jax.jit(dense)(scene.params, o, d)
+    _assert_hits_match(a, b)
+    np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                  np.asarray(b["_evt"]))
+    # difference-cut payloads must actually be exercised (end-generated
+    # boundaries: evt >= L on hit lanes)
+    L = len(collect_leaves(scene.plan))
+    m = np.asarray(a["hit"])
+    assert (np.asarray(a["_evt"])[m] >= L).any()
+
+
+def test_group_sweep_auto_selected_and_differentiates():
+    """compile_scene auto-picks the sweep for big mixed-CSG scenes; the
+    full trace + manual-VJP pipeline stays finite through it."""
+    from ptx.geom.fasthit import union_decompose, _SWEEP_L_MIN
+    from ptx.scenes.builders import stress_gadgets
+    world = stress_gadgets(24)
+    scene = compile_scene(world, pallas=False)
+    L = len(collect_leaves(scene.plan))
+    assert L > _SWEEP_L_MIN and len(union_decompose(scene.plan)) == 31
+    # auto-pick lands on the sweep: no lax.scan (the blocked path's marker)
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, o, d: scene.hit_fn(p, o, d)["t"])(
+            scene.params, jnp.zeros((8, 3)), jnp.ones((8, 3))))
+    assert "sort" in jaxpr and "while" not in jaxpr and "scan" not in jaxpr
+    o, d = _rays(128, seed=6)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params):
+        return jnp.mean(trace_rays(scene, params, o, d, key, depth=3))
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(scene.params)
+    assert np.isfinite(float(val)) and float(val) > 0.01
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(grads["sphere_radius"])).max() > 0

@@ -15,16 +15,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(n_spheres, force_blocked=False, depth=4):
+def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
     import jax
     import jax.numpy as jnp
     from ptx.geom.fasthit import collect_leaves, compile_fast_hit
     from ptx.integrate.camera import Camera, sample_rays
     from ptx.integrate.trace import compile_scene, trace_rays
-    from ptx.scenes.builders import stress_spheres
+    from ptx.scenes.builders import stress_gadgets, stress_spheres
 
+    builder = stress_spheres if kind == "spheres" else stress_gadgets
     t0 = time.perf_counter()
-    scene = compile_scene(stress_spheres(n_spheres))
+    scene = compile_scene(builder(n_spheres))
     if force_blocked:
         scene.hit_fn = compile_fast_hit(scene.plan, candidate_block=32)
         scene._manual_bounce = None
@@ -59,12 +60,17 @@ def measure(n_spheres, force_blocked=False, depth=4):
     fetch(x)
     dt = (time.perf_counter() - t0) / iters
     B = o.shape[0]
-    from ptx.geom.fasthit import tape_is_union_only, _SWEEP_L_MIN
+    from ptx.geom import tape as _tape
+    from ptx.geom.fasthit import (union_decompose, _SWEEP_GROUP_MAX,
+                                  _SWEEP_L_MIN)
+    groups = union_decompose(scene.plan)
+    gmax = max((1 if isinstance(g, _tape._LeafPlan)
+                else len(collect_leaves(g))) for g in groups)
     auto = ("kernel" if L <= 24 else
-            "sweep" if (L > _SWEEP_L_MIN
-                        and tape_is_union_only(scene.plan)) else
+            "sweep" if (L > _SWEEP_L_MIN and len(groups) > 1
+                        and gmax <= _SWEEP_GROUP_MAX) else
             "dense" if L <= 64 else "blocked")
-    return {"spheres": n_spheres, "L": L,
+    return {"kind": kind, "units": n_spheres, "L": L,
             "strategy": "blocked" if force_blocked else auto,
             "compile_s": round(compile_s, 1),
             "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2)}
@@ -74,12 +80,18 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    for n, forced in [(9, False), (9, True), (25, True), (57, False),
-                      (121, False), (249, False)]:
+    cases = [(9, False, "spheres"), (9, True, "spheres"),
+             (25, True, "spheres"), (57, False, "spheres"),
+             (121, False, "spheres"), (249, False, "spheres"),
+             (12, False, "gadgets"), (28, True, "gadgets"),
+             (28, False, "gadgets"), (56, False, "gadgets"),
+             (112, False, "gadgets")]
+    for n, forced, kind in cases:
         try:
-            print(json.dumps(measure(n, forced)), flush=True)
+            print(json.dumps(measure(n, forced, kind=kind)), flush=True)
         except Exception as e:
-            print(json.dumps({"spheres": n, "error": repr(e)[:200]}),
+            print(json.dumps({"units": n, "kind": kind,
+                              "error": repr(e)[:200]}),
                   flush=True)
 
 
