@@ -35,6 +35,7 @@ pixel-gradient metric differentiates.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable
 
 import jax
@@ -790,7 +791,8 @@ _COMPACT_MIN_BATCH = 16384
 def trace_rays(scene: CompiledScene, params, origin, direction, key,
                depth: int = DEFAULT_RAY_DEPTH, remat: bool = True,
                manual_vjp: bool | None = None,
-               compact: bool | None = None):
+               compact: bool | None = None,
+               skysel: bool | None = None):
     """Trace a wavefront of rays to radiance estimates ``(..., 3)``.
 
     ``origin``/``direction`` have shape ``(..., 3)``; one stochastic path
@@ -808,6 +810,11 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     (≥ 16k rays) at depth ≥ 8 — production render/bench shapes — and off
     for the small deterministic-path batches tests use.  Changes which
     stochastic path each ray takes (not the estimator's expectation).
+
+    ``skysel``: evaluate terminal dynamic-emissive chains (sky probes) on
+    one bounce-selected lane per path instead of every post-scan lane
+    (exact — see the post-scan block below).  Default: env ``PTX_SKYSEL``
+    (on).  Only applies when the fused emission kernel is not active.
     """
     batch_shape = origin.shape[:-1]
     # Flatten the wavefront to (B, 3): multi-axis batches (spp, rows, W)
@@ -905,7 +912,26 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     # phase lane blocks concatenate into a single flat batch.  Plain
     # autodiff handles the emissive parameter gradients here; the bounce
     # custom-VJP never sees them.
-    em_eval = scene.emission_fn or scene.material_fn.eval_emissive
+    #
+    # Sky-select path (reference-scale probes): when the scene has
+    # terminal dynamic-emissive materials (reflect ≡ transmit ≡ 0 — the
+    # sky enclosure, test.cpp:134-140) and no fused emission kernel
+    # (images past the VMEM budget fall off it), each such chain is
+    # evaluated on ONE bounce-selected lane per (phase, path) instead of
+    # every post-scan lane: a terminal hit zeroes throughput exactly, so
+    # at most one bounce per path has (mat terminal ∧ thr ≠ 0) — the
+    # select is exact, cuts the image gather AND its TPU scatter-add
+    # transpose from Σ nb·Bp (~5.4·B) to Σ Bp (~1.6·B) rows, and runs as
+    # a one-hot sum over the short bounce axis (no sort, no scatter).
+    term_chains = getattr(scene.material_fn, "terminal_dynamic_emissive",
+                          [])
+    if skysel is None:
+        skysel = os.environ.get("PTX_SKYSEL", "1") != "0"
+    use_skysel = scene.emission_fn is None and term_chains and skysel
+    if use_skysel:
+        em_eval = scene.material_fn.eval_emissive_base
+    else:
+        em_eval = scene.emission_fn or scene.material_fn.eval_emissive
     ys_cat = jnp.concatenate([ys.reshape(-1, 8) for ys, _ in saved])
     # pos re-enters stop_gradient HERE: the packed ys is differentiable as
     # a whole (thr columns), so a bare pos slice would re-open a pos
@@ -914,7 +940,31 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     em_cat = em_eval(
         params, jax.lax.stop_gradient(ys_cat[:, 0:3]),
         jax.lax.stop_gradient(ys_cat[:, 6]).astype(jnp.int32))
+
+    sky_rows = []      # per phase: per terminal chain: (row (Bp, 8), has)
+    sky_em = []        # per terminal chain: (ΣBp, 3) eval, split per phase
+    if use_skysel:
+        for ys, _ in saved:
+            nb, Bp, _ = ys.shape
+            mid = ys[..., 6]
+            live = ys[..., 7] > 0.5
+            thr_nz = jnp.sum(jnp.abs(ys[..., 3:6]), axis=-1) > 0.0
+            per_chain = []
+            for mi, _fn in term_chains:
+                is_sel = live & (mid == float(mi)) & thr_nz
+                first = jnp.argmax(is_sel, axis=0)               # (Bp,)
+                oh = (jax.lax.broadcasted_iota(jnp.int32, (nb, Bp), 0)
+                      == first[None, :])
+                row = jnp.sum(jnp.where(oh[..., None], ys, 0.0), axis=0)
+                per_chain.append((row, jnp.any(is_sel, axis=0)))
+            sky_rows.append(per_chain)
+        for ti, (mi, fn) in enumerate(term_chains):
+            pos_cat = jnp.concatenate(
+                [sky_rows[pi][ti][0][:, 0:3] for pi in range(len(saved))])
+            sky_em.append(fn(params, jax.lax.stop_gradient(pos_cat)))
+
     ofs = 0
+    sky_ofs = [0] * len(term_chains)
     for pi, (ys, orig) in enumerate(saved):
         nb, Bp, _ = ys.shape
         thr = ys[..., 3:6]
@@ -922,6 +972,13 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         em = em_cat[ofs:ofs + nb * Bp].reshape(nb, Bp, 3)
         ofs += nb * Bp
         contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
+        if use_skysel:
+            for ti in range(len(term_chains)):
+                row, has = sky_rows[pi][ti]
+                em_t = sky_em[ti][sky_ofs[ti]:sky_ofs[ti] + Bp]
+                sky_ofs[ti] += Bp
+                contrib = contrib + jnp.where(
+                    has[..., None], row[:, 3:6] * em_t, 0.0)
         if pi == 0:
             radiance = radiance + contrib
         else:

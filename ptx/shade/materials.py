@@ -128,6 +128,48 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
         slot that may gather textures and so stays in XLA."""
         return _slot_val(params, pos, mat_id, "emissive")
 
+    # --- terminal dynamic-emissive materials ("sky shape") -------------
+    # A material whose reflect AND transmit tints are the exact constant
+    # zero kills the path's throughput on hit (trace._bounce_live: both
+    # branch tints are 0 ⇒ throughput2 ≡ 0, and every later bounce's
+    # emission contribution is exactly 0·em).  So a path has AT MOST ONE
+    # bounce where (mat is terminal ∧ throughput ≠ 0) — which lets
+    # trace_rays evaluate such a material's dynamic emissive chain on one
+    # selected lane per path instead of every (bounce, path) lane.  That
+    # is the load-bearing property for reference-scale sky probes (3k
+    # equirect, test.cpp:123): their image gather/scatter cost is per
+    # LANE, and the one-hot MXU histogram transpose is flop-infeasible at
+    # that image area (O(B·H·W) — see ptx.ops.imagegrad).
+    def _const_zero(texn):
+        return (isinstance(texn, tx.Constant)
+                and not np.any(np.asarray(texn.color, np.float32)))
+
+    terminal = {mi for mi, m in enumerate(materials_in_id_order)
+                if _const_zero(m.reflect) and _const_zero(m.transmit)}
+    terminal_dynamic_emissive = [(mi, fn) for mi, fn in dynamic["emissive"]
+                                 if mi in terminal]
+    _term_set = {mi for mi, _ in terminal_dynamic_emissive}
+
+    def eval_emissive_base(params, pos, mat_id):
+        """Emission WITHOUT the terminal dynamic chains: their lanes are
+        masked to exact zero — masked, not just routed to the zero
+        placeholder const row, because the placeholder is a shared
+        differentiable table row and an unmasked lookup would leak those
+        lanes' cotangents into it.  trace_rays adds the terminal chains
+        back on per-path selected lanes (the sky-select path)."""
+        val = table_lookup(params["const"], const_idx["emissive"][mat_id])
+        for mi, fn in dynamic["emissive"]:
+            if mi in _term_set:
+                continue
+            dyn = fn(params, pos)
+            val = jnp.where((mat_id == mi)[..., None], dyn, val)
+        if _term_set:
+            is_term = jnp.zeros(mat_id.shape, bool)
+            for mi in _term_set:
+                is_term = is_term | (mat_id == mi)
+            val = jnp.where(is_term[..., None], 0.0, val)
+        return val
+
     # metadata for the fused bounce kernel's SMEM packing: which const-
     # table row feeds each (material, slot), and which slots have any
     # position-dependent (non-packable) textures
@@ -135,6 +177,8 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
     eval_fn.dynamic_slots = {s: [mi for mi, _ in dynamic[s]] for s in SLOTS}
     eval_fn.n_materials = M
     eval_fn.eval_emissive = eval_emissive
+    eval_fn.eval_emissive_base = eval_emissive_base
+    eval_fn.terminal_dynamic_emissive = terminal_dynamic_emissive
     # chain specs (ptx.shade.textures compile attaches .spec) for the
     # fused emission kernel's eligibility check (ptx.ops.emission_kernel)
     eval_fn.emissive_dynamic_specs = [

@@ -101,26 +101,31 @@ def test_fused_forward_gradients_match_autodiff(fused_scene):
     u_coin = jax.random.uniform(prng.fold(k, 1), (B,))
     u3 = jax.random.uniform(prng.fold(k, 2), (B, 3))
 
-    def em_term(params, ys):
+    def em_term(params, pos, mid, live, thr):
         # the post-scan emission sum trace_rays builds from the ys
-        pos, mid, live, thr = ys
         em = scene.material_fn.eval_emissive(params, pos, mid)
         return jnp.sum(jnp.where(live[..., None], thr * em, 0.0) * w)
 
     def loss_manual(params):
+        # ys is the packed (B, 8) per-bounce emission row: pos | thr |
+        # mat_id | live (mirrors trace_rays's unpack, trace.py ~:919)
         (o2, d2, thr2, st2, al2), ys = bs(params, o, d, thr0, st0, al0,
                                           k, True, u_coin, u3)
+        pos = jax.lax.stop_gradient(ys[:, 0:3])
+        thr = ys[:, 3:6]
+        mid = jax.lax.stop_gradient(ys[:, 6]).astype(jnp.int32)
+        live = ys[:, 7] > 0.5
         # touch emission AND the differentiable continuation state
-        return (em_term(params, ys) + 1e-3 * jnp.sum(thr2)
+        return (em_term(params, pos, mid, live, thr) + 1e-3 * jnp.sum(thr2)
                 + 1e-4 * jnp.sum(d2 * d2))
 
     def loss_auto(params):
         (o2, d2, thr2, st2, al2), dec = tr._bounce_live(
             scene, params, o, d, thr0, st0, al0, k, True,
             use_fused=False)
-        ys = (jax.lax.stop_gradient(o + dec["t"][..., None] * d),
-              dec["mat_id"], al0 & dec["hit"], thr0)
-        return (em_term(params, ys) + 1e-3 * jnp.sum(thr2)
+        pos = jax.lax.stop_gradient(o + dec["t"][..., None] * d)
+        return (em_term(params, pos, dec["mat_id"], al0 & dec["hit"], thr0)
+                + 1e-3 * jnp.sum(thr2)
                 + 1e-4 * jnp.sum(d2 * d2))
 
     gm = jax.grad(loss_manual)(scene.params)
