@@ -113,8 +113,15 @@ def refract(d, relative_ior, n):
         & (arg >= 0.0)
     )
     # guard value 1.0, not 0.0: sqrt'(0)=inf would NaN the masked lanes'
-    # backward (forward is unaffected — ~ok lanes return the zero vector)
-    safe_arg = jnp.where(ok, arg, 1.0)
+    # backward (forward is unaffected — ~ok lanes return the zero vector).
+    # ok admits arg == 0 exactly (the reference treats grazing TIR as a
+    # valid refraction, vector3d.h:203-214) — but sqrt'(0) = inf, and the
+    # combination IS reachable: eta = 1 (the default ior) with d ⊥ n gives
+    # arg ≡ 0, which compaction filler lanes construct exactly (found by
+    # the sharded compacted-manual-VJP dryrun: 0·inf → NaN d(ior) even
+    # with zero cotangents).  The 1e-20 floor keeps the value error below
+    # f32 resolution (sqrt → 1e-10) and the partial finite (≤ 5e9).
+    safe_arg = jnp.where(ok, jnp.maximum(arg, 1e-20), 1.0)
     t = eta[..., None] * i - (eta * idn + jnp.sqrt(safe_arg))[..., None] * n_unit
     return jnp.where(ok[..., None], normalize(t), jnp.zeros_like(t))
 

@@ -71,6 +71,94 @@ def test_train_step_decreases_loss(scene):
     assert d1 < d0, (d0, d1, losses)
 
 
+def test_compacted_manual_vjp_sharded_digest(scene):
+    """VERDICT r2 #5: the production trace configuration — phase
+    compaction + the decision-frozen manual-VJP bounce — must produce the
+    SAME image and the SAME parameter gradients inside shard_map as an
+    explicit per-(tile, sample) loop of bare trace_rays calls.  This
+    pins _compact_wavefront's orig_idx bookkeeping, the phase radiance
+    scatter, and the custom-VJP bounce under sharding (their lane
+    shuffles must commute with the mesh partition)."""
+    import jax.numpy as jnp
+    from ptx.core import rng
+    from ptx.integrate.camera import sample_rays
+    from ptx.integrate.trace import trace_rays
+    from ptx.parallel.render import make_train_step
+
+    tiles, samples = 4, 2
+    m = pmesh.make_mesh(tiles=tiles, samples=samples)
+    key = jax.random.PRNGKey(5)
+    depth, spp = 8, 2 * samples
+    rows = CAM.height // tiles
+    target = np.zeros((CAM.height, CAM.width, 3), np.float32)
+
+    step = make_train_step(scene, CAM, m, spp=spp, depth=depth,
+                           learning_rate=0.0,  # pure gradient probe
+                           compact=True, manual_vjp=True)
+    # learning_rate 0 ⇒ params unchanged; grab loss via a 1-step psum'd
+    # run, and gradients by finite re-derivation: rebuild the same global
+    # loss unsharded and compare value_and_grad
+    _, loss_sharded = step(scene.params, jnp.asarray(target),
+                           jax.random.fold_in(key, 1))
+
+    def unsharded_loss(params):
+        k0 = jax.random.fold_in(key, 1)
+        total = 0.0
+        for t in range(tiles):
+            # _local_render pmeans the image over the SAMPLE axis BEFORE
+            # the (nonlinear) MSE — mirror that exactly
+            img = 0.0
+            for s in range(samples):
+                k = rng.fold(k0, t, s)
+                ys = t * rows + jnp.arange(rows)
+                o, d = sample_rays(CAM, k, ys, jnp.arange(CAM.width),
+                                   spp // samples)
+                rad = trace_rays(scene, params, o, d, k, depth,
+                                 compact=True, manual_vjp=True)
+                img = img + jnp.mean(rad, axis=0) / samples
+            total = total + jnp.mean(
+                (img - target[t * rows:(t + 1) * rows]) ** 2)
+        return total / tiles
+
+    loss_u, grads_u = jax.jit(jax.value_and_grad(unsharded_loss))(
+        scene.params)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_u),
+                               rtol=1e-5)
+
+    # gradients: recompute the sharded ones via a grad-returning step
+    from ptx.parallel.render import _local_render
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ptx.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
+
+    def body(params, key):
+        tile_idx = jax.lax.axis_index(TILE_AXIS)
+        y0 = tile_idx * rows
+
+        def local_loss(p):
+            img = _local_render(scene, CAM, depth, spp // samples, p, key,
+                                y0, rows, compact=True, manual_vjp=True)
+            return jnp.mean(
+                (img - jax.lax.dynamic_slice(
+                    jnp.asarray(target), (y0, 0, 0),
+                    (rows, CAM.width, 3))) ** 2)
+
+        g = jax.grad(local_loss)(params)
+        return jax.lax.pmean(jax.lax.pmean(g, TILE_AXIS), SAMPLE_AXIS)
+
+    grads_s = jax.jit(shard_map(
+        body, mesh=m, in_specs=(P(), P()), out_specs=P(),
+        check_vma=False))(scene.params, jax.random.fold_in(key, 1))
+
+    flat_u = jax.tree_util.tree_flatten_with_path(grads_u)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(grads_s)[0]
+    for (pu, vu), (ps, vs) in zip(flat_u, flat_s):
+        assert pu == ps
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vu),
+                                   rtol=2e-4, atol=1e-7,
+                                   err_msg=str(pu))
+
+
 def test_render_accumulator_resume(tmp_path):
     p = str(tmp_path / "acc.npz")
     acc = checkpoint.RenderAccumulator(4, 4, p)

@@ -8,7 +8,8 @@ times under ``jax.profiler.start_trace`` and aggregates device-side op
 durations from the ``.trace.json.gz`` file (no tensorboard needed; the
 tunnel is too slow for xprof anyway).
 
-Usage: python tools/profile_step.py [fwd|grad] [iters]
+Usage: python tools/profile_step.py [fwd|grad] [iters] [skyHxW]
+e.g. python tools/profile_step.py grad 6 sky1536x3072
 """
 
 import glob
@@ -21,7 +22,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(mode="grad", iters=6, logdir="/tmp/ptx-prof"):
+def run(mode="grad", iters=6, logdir="/tmp/ptx-prof", sky=None):
     import jax
     import jax.numpy as jnp
 
@@ -30,12 +31,13 @@ def run(mode="grad", iters=6, logdir="/tmp/ptx-prof"):
     from ptx.core import rng as prng
     from ptx.integrate.camera import Camera, sample_rays
     from ptx.integrate.trace import compile_scene, trace_rays
-    from ptx.scenes.builders import make_world
+    from ptx.scenes.builders import make_world, procedural_sky_image
 
     width = height = 512
     depth = 16
     rows = height // 2
-    scene = compile_scene(make_world())
+    sky_img = procedural_sky_image(*sky) if sky else None
+    scene = compile_scene(make_world(sky_image=sky_img))
     cam = Camera.reference_demo(width, height)
     key = jax.random.PRNGKey(0)
 
@@ -118,5 +120,8 @@ def decode(logdir, iters, top=30):
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "grad"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    logdir, iters = run(mode, iters)
+    sky = None
+    if len(sys.argv) > 3 and sys.argv[3].startswith("sky"):
+        sky = tuple(int(v) for v in sys.argv[3][3:].split("x"))
+    logdir, iters = run(mode, iters, sky=sky)
     decode(logdir, iters)
