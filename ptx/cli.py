@@ -90,12 +90,15 @@ def cmd_render(args):
 
     if args.adaptive:
         from ptx.integrate.adaptive import render_adaptive
+        from ptx.parallel.checkpoint import AdaptiveCheckpoint
         key = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         spp_base = max(2, spp // 2)
-        final, counts = render_adaptive(
+        ckpt = AdaptiveCheckpoint(cam.height, cam.width, args.checkpoint)
+        final, counts, _ = render_adaptive(
             scene, cam, key, spp_base=spp_base, rounds=4, frac=0.125,
-            spp_refine=max(4, spp // 2), depth=depth)
+            spp_refine=max(4, spp // 2), depth=depth,
+            state=ckpt.state, on_round=ckpt.update)
         final = np.asarray(final)
         stamp = f"{int(time.time()):08X}"
         out_base = args.out or f"image{stamp}"

@@ -56,6 +56,8 @@ Three evaluation strategies share the same semantics:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -353,7 +355,8 @@ def _bits_at(node, leaf_pos, bits):
 
 
 def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
-                     sweep: bool | None = None):
+                     sweep: bool | None = None,
+                     sweep_kernel: bool | str | None = None):
     """Compile a tape plan (from tape.compile_geometry) into
     ``hit_fn(params, origin, dir) -> first-hit dict`` (same contract as
     ptx.integrate.trace.first_hit).
@@ -378,7 +381,7 @@ def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
         sweep = (candidate_block is None and L > _SWEEP_L_MIN
                  and len(groups) > 1 and gmax <= _SWEEP_GROUP_MAX)
     if sweep:
-        return _compile_union_sweep(plan, leaves)
+        return _compile_union_sweep(plan, leaves, sweep_kernel=sweep_kernel)
     if candidate_block is None and L > _DENSE_L_MAX:
         candidate_block = _DEFAULT_CANDIDATE_BLOCK
     if candidate_block:
@@ -541,7 +544,7 @@ def _compile_blocked_hit(plan, leaves, block: int):
     return hit_fn
 
 
-def _compile_union_sweep(plan, leaves):
+def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None):
     """Sorted-interval sweep first hit for union-decomposable tapes
     (strategy 3) — ``Union(g₁ … g_K)`` where each group ``g`` is a leaf or
     a small CSG gadget (≤ _SWEEP_GROUP_MAX leaves): the reference's
@@ -591,6 +594,21 @@ def _compile_union_sweep(plan, leaves):
     mat_ids = jnp.asarray(np.array([lf.mat_id for lf, _ in leaves], np.int32))
     replay = hitreplay.build_hit_replay(leaves, parity_np)
     NEG = np.float32(-3e20)
+
+    # post-sort stage: the Pallas sweep-select kernel collapses the
+    # prefix-max scan + break/min candidate reduces + winner-payload
+    # equality match into ONE launch / one HBM pass per operand
+    # (ptx.ops.sweep_kernel docstring; the log-L associative_scan
+    # slice/pad passes were the measured dominant post-sort cost at
+    # L=256 — STATUS.md round 2).  sweep_kernel: True/False force it,
+    # "interpret" runs the kernel in interpreter mode (CPU cross-tests),
+    # None → env PTX_SWEEP_KERNEL, else on iff running on TPU.
+    if sweep_kernel is None:
+        env = os.environ.get("PTX_SWEEP_KERNEL")
+        if env is not None:
+            sweep_kernel = env == "1"
+        else:
+            sweep_kernel = jax.default_backend() == "tpu"
 
     # compile-time group table: leaf groups batch into one direct slice;
     # compound groups carry (subplan, global row indices, local positions)
@@ -650,51 +668,63 @@ def _compile_union_sweep(plan, leaves):
         s = jnp.where(valid, s, _PAD_T)         # invalid sorts to the end
         e = jnp.where(valid, e, NEG)            # and never extends a chain
 
-        # leaf identity does NOT ride the sort or the scan: the winner's
-        # leaf is recovered afterwards from the UNSORTED intervals (one
-        # fused reduce) — t_star passes through max/min only, so the
-        # equality test below is bitwise-exact.  Keeps the sort 2-operand
-        # and the prefix scan 1-operand (each (L, B) operand is ~67 MB of
-        # HBM traffic per pass at render batch sizes).
-        s_s, e_s = jax.lax.sort((s, e), dimension=0, num_keys=1,
-                                is_stable=True)
+        if sweep_kernel:
+            # the kernel sorts in VMEM (bitonic over rows) AND does the
+            # prefix/selection/payload stages in the same launch — no
+            # XLA sort, one HBM pass per operand
+            from ptx.ops.sweep_kernel import build_sweep_select
+            sel = build_sweep_select(s.shape[0], L, float(EPS),
+                                     interpret=sweep_kernel == "interpret")
+            t_star, entering, m_start, m_end, found = sel(s, e, t0, t1)
+        else:
+            # leaf identity does NOT ride the sort or the scan: the
+            # winner's leaf is recovered afterwards from the UNSORTED
+            # intervals (one fused reduce) — t_star passes through
+            # max/min only, so the equality test below is bitwise-exact.
+            # Keeps the sort 2-operand and the prefix scan 1-operand
+            # (each (L, B) operand is ~67 MB of HBM traffic per pass at
+            # render batch sizes).
+            s_s, e_s = jax.lax.sort((s, e), dimension=0, num_keys=1,
+                                    is_stable=True)
+            inc_e = jax.lax.associative_scan(jnp.maximum, e_s, axis=0)
+            P_e = jnp.concatenate([jnp.full((1, B), NEG), inc_e[:-1]],
+                                  axis=0)
 
-        inc_e = jax.lax.associative_scan(jnp.maximum, e_s, axis=0)
-        P_e = jnp.concatenate([jnp.full((1, B), NEG), inc_e[:-1]], axis=0)
+            is_break = (s_s < 2e20) & (s_s > P_e)
+            # entry candidate at each break's start, exit candidate at
+            # each break's prior-chain end, plus the final chain's exit
+            te = jnp.min(jnp.where(is_break & (s_s >= EPS), s_s, _PAD_T),
+                         axis=0)
+            tx = jnp.min(jnp.where(is_break & (P_e >= EPS), P_e, _PAD_T),
+                         axis=0)
+            tx = jnp.minimum(
+                tx, jnp.where(inc_e[-1] >= EPS, inc_e[-1], _PAD_T))
 
-        is_break = (s_s < 2e20) & (s_s > P_e)
-        # entry candidate at each break's start, exit candidate at each
-        # break's prior-chain end, plus the final chain's exit
-        te = jnp.min(jnp.where(is_break & (s_s >= EPS), s_s, _PAD_T),
-                     axis=0)
-        tx = jnp.min(jnp.where(is_break & (P_e >= EPS), P_e, _PAD_T),
-                     axis=0)
-        tx = jnp.minimum(
-            tx, jnp.where(inc_e[-1] >= EPS, inc_e[-1], _PAD_T))
+            # an entry and an exit can only collide at unequal breaks
+            # where the entry came first — dense resolves the same way
+            # (entry events carry the lower indices)
+            entering = te <= tx
+            t_star = jnp.minimum(te, tx)
+            found = t_star < 2e20
 
-        # an entry and an exit can only collide at unequal breaks where
-        # the entry came first — dense resolves the same way (entry
-        # events carry the lower indices)
-        entering = te <= tx
-        t_star = jnp.minimum(te, tx)
-        found = t_star < 2e20
+            # winner's payload: min leaf whose raw start (then end)
+            # equals t_star.  Every event at exactly t_star is a dense
+            # candidate (membership bits are a function of t alone, and
+            # the root flips at t_star), so this IS the dense argmin's
+            # event-index tie-break: start events carry indices < L, so
+            # any start match beats every end match.  In compound groups
+            # an ENTERING root boundary can be generated by a leaf's END
+            # event (a difference's cut surface takes B's boundary,
+            # span.h:100-112) — which the evt encoding (leaf vs L+leaf)
+            # captures independently of ``entering``.
+            lf = jnp.arange(L, dtype=jnp.int32)[:, None]
+            m_start = jnp.min(
+                jnp.where(t0 == t_star[None, :], lf, L), axis=0)
+            m_end = jnp.min(
+                jnp.where(t1 == t_star[None, :], lf, L), axis=0)
+
         escaped = t_star >= MAX_VALUE
         hit = found & ~escaped
-
-        # winner's payload: min leaf whose raw start (then end) equals
-        # t_star.  Every event at exactly t_star is a dense candidate
-        # (membership bits are a function of t alone, and the root flips
-        # at t_star), so this IS the dense argmin's event-index tie-break:
-        # start events carry indices < L, so any start match beats every
-        # end match.  In compound groups an ENTERING root boundary can be
-        # generated by a leaf's END event (a difference's cut surface
-        # takes B's boundary, span.h:100-112) — which the evt encoding
-        # (leaf vs L+leaf) captures independently of ``entering``.
-        lf = jnp.arange(L, dtype=jnp.int32)[:, None]
-        m_start = jnp.min(
-            jnp.where(t0 == t_star[None, :], lf, L), axis=0)
-        m_end = jnp.min(
-            jnp.where(t1 == t_star[None, :], lf, L), axis=0)
         use_start = m_start < L
         leaf_star = jnp.where(use_start, m_start, jnp.minimum(m_end, L - 1))
         evt = jnp.where(hit, jnp.where(use_start, leaf_star, L + leaf_star),

@@ -124,6 +124,167 @@ def _hist_eligible(H, W, C):
     return H <= 1024 and C * (-(-W // 128) * 128) <= 2048
 
 
+# ---------------------------------------------------------------------------
+# banded histogram for reference-scale images (3k equirect probes)
+# ---------------------------------------------------------------------------
+#
+# The VMEM histogram above is O(N·H·W) MXU flops — infeasible past ~2k
+# columns (a 3072×1536 probe costs petaflops).  The XLA scatter fallback
+# is latency-bound instead: ~48 ns per update row into a 75 MB operand
+# regardless of sorting/uniqueness flags (tools/scatter_bench.py; the
+# same N into a VMEM-sized operand runs 8.5 ns/row).  The binned kernel
+# removes BOTH walls: lanes are sorted by 2-D image BLOCK (XLA sort +
+# searchsorted offsets), and a scalar-prefetch Pallas kernel walks each
+# block's contiguous lane range with dynamic-trip-count DMA, accumulating
+# into a VMEM-resident (block_h, C·block_w) tile via the hi/lo bf16
+# one-hot MXU contraction.
+#
+# Why 2-D blocks and these sizes: the MXU's effective cost per lane is
+# max(block_h, 128) · block_w · C MACs — M-dim utilization (block_h/128)
+# exactly cancels any row-only banding below 128 rows, which is why a
+# row-banded v1 of this kernel measured no better than the scatter
+# (42 ns/row).  Tiling columns is what actually cuts the per-lane cost:
+# (64, 512) blocks put the flops-equivalent at N·128·512·C·2 ≈ 96 GMAC
+# for a 183k-lane 3k-probe transpose, ~1 ms of MXU plus the sort.
+
+_BLOCK_H = 64
+_BLOCK_W = 512
+_MAX_CBW = 4096          # wv (C·block_w, 128) f32 ≤ 2 MB VMEM
+
+
+def _binned_kernel(offs_ref, lanes_ref, acc_ref, scratch, sem,
+                   *, block_h, block_w, n_bx, C):
+    by = pl.program_id(0)
+    bx = pl.program_id(1)
+    b = by * n_bx + bx
+    lo = offs_ref[b]
+    hi = offs_ref[b + 1]
+    t0 = lo // _LANES
+    t1 = jnp.where(hi > lo, (hi + _LANES - 1) // _LANES, t0)
+
+    iota_h = jax.lax.broadcasted_iota(
+        jnp.int32, (block_h, 128), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(
+        jnp.int32, (block_w, 128), 0).astype(jnp.float32)
+    # lane position within a (8, 128) tile, as f32 (exact ≤ 2^24)
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (_T_ROWS, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (_T_ROWS, 128), 1)
+           ).astype(jnp.float32)
+    y_base = (by * block_h).astype(jnp.float32)
+    x_base = (bx * block_w).astype(jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
+
+    def tile_step(t, accs):
+        dma = pltpu.make_async_copy(
+            lanes_ref.at[:, pl.ds(t * _T_ROWS, _T_ROWS), :],
+            scratch, sem)
+        dma.start()
+        dma.wait()
+        g = pos + (t * _LANES).astype(jnp.float32)
+        valid = (g >= lo.astype(jnp.float32)) & (g < hi.astype(jnp.float32))
+        y_loc = jnp.where(valid, scratch[0] - y_base, -1.0)
+        x_loc = scratch[1] - x_base
+        accs = list(accs)
+        for s in range(_T_ROWS):
+            ohy = jnp.where(
+                iota_h == jnp.broadcast_to(y_loc[s:s + 1, :],
+                                           (block_h, 128)),
+                1.0, 0.0).astype(jnp.bfloat16)
+            ohx = jnp.where(
+                iota_w == jnp.broadcast_to(x_loc[s:s + 1, :],
+                                           (block_w, 128)),
+                1.0, 0.0)
+            for c in range(C):
+                wv = ohx * jnp.broadcast_to(
+                    scratch[2 + c][s:s + 1, :], (block_w, 128))
+                wv_hi = wv.astype(jnp.bfloat16)
+                wv_lo = (wv - wv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                accs[c] = accs[c] + (
+                    jax.lax.dot_general(
+                        ohy, wv_hi, dims,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        ohy, wv_lo, dims,
+                        preferred_element_type=jnp.float32))
+        return tuple(accs)
+
+    init = tuple(jnp.zeros((block_h, block_w), jnp.float32)
+                 for _ in range(C))
+    accs = jax.lax.fori_loop(t0, t1, tile_step, init)
+    acc_ref[...] = jnp.concatenate(accs, axis=1)
+
+
+def _build_banded_hist(H, W, C, interpret):
+    """hist(y, x, vals) -> (H, W, C) for ARBITRARY image sizes: y/x f32
+    flat (N,) texel indices (−1 ⇒ skip), vals (N, C).  Lanes are sorted
+    by 2-D image block here (one XLA sort + one packed row gather),
+    offsets via searchsorted; the kernel walks each block's contiguous
+    lane range (module comment above)."""
+    block_h, block_w = _BLOCK_H, _BLOCK_W
+    n_by = -(-H // block_h)
+    n_bx = -(-W // block_w)
+    n_bins = n_by * n_bx
+
+    @jax.jit
+    def hist(y, x, vals):
+        n = y.shape[0]
+        bin_id = jnp.where(
+            y >= 0.0,
+            jnp.floor(y / block_h) * n_bx + jnp.floor(x / block_w),
+            float(n_bins))
+        order = jnp.argsort(bin_id, stable=True)
+        cols = jnp.concatenate([y[:, None], x[:, None], vals], axis=1)
+        cols = cols[order]                         # ONE (N, 2+C) row gather
+        offs = jnp.searchsorted(
+            bin_id[order], jnp.arange(n_bins + 1, dtype=jnp.float32),
+            side="left").astype(jnp.int32)
+
+        pad = (-n) % _LANES
+        if pad:
+            cols = jnp.concatenate(
+                [cols, jnp.broadcast_to(
+                    jnp.asarray([-1.0] + [0.0] * (1 + C), jnp.float32),
+                    (pad, 2 + C))], axis=0)
+        n_tiles = cols.shape[0] // _LANES
+        # (2+C, n_tiles·8, 128): one DMA per tile fetches all columns
+        lanes = cols.T.reshape(2 + C, n_tiles * _T_ROWS, 128)
+
+        kern = functools.partial(
+            _binned_kernel, block_h=block_h, block_w=block_w, n_bx=n_bx,
+            C=C)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_by, n_bx),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (block_h, C * block_w),
+                lambda by, bx, offs: (by, bx),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2 + C, _T_ROWS, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        acc = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_by * block_h, n_bx * C * block_w), jnp.float32),
+            interpret=interpret,
+        )(offs, lanes)
+        # (n_by·bh, n_bx, C, bw) → (H, W, C)
+        out = acc.reshape(n_by * block_h, n_bx, C, block_w)
+        out = out.transpose(0, 1, 3, 2).reshape(
+            n_by * block_h, n_bx * block_w, C)
+        return out[:H, :W]
+
+    return hist
+
+
+def _banded_eligible(H, W, C):
+    return C * _BLOCK_W <= _MAX_CBW
+
+
 @jax.custom_vjp
 def image_gather(img, xi, yi, inb):
     """Bounds-masked nearest gather: ``where(inb, img[yi, xi], 0)``.
@@ -144,9 +305,8 @@ def _bwd(res, ct):
     shape, xi, yi, inb = res
     H, W, C = shape
     ct = jnp.where(inb[..., None], ct, 0.0)
-    use_kernel = (jax.default_backend() == "tpu"
-                  and _hist_eligible(H, W, C))
-    if use_kernel:
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and _hist_eligible(H, W, C):
         y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
         x = xi.astype(jnp.float32).reshape(-1)
         vals = ct.reshape(-1, C)
@@ -159,6 +319,11 @@ def _bwd(res, ct):
                 [vals, jnp.zeros((pad, C), jnp.float32)])
         hist = _build_hist(H, W, C, interpret=False)
         d_img = hist(y, x, vals)
+    elif on_tpu and _banded_eligible(H, W, C):
+        y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
+        x = xi.astype(jnp.float32).reshape(-1)
+        hist = _build_banded_hist(H, W, C, interpret=False)
+        d_img = hist(y, x, ct.reshape(-1, C))
     else:
         d_img = jnp.zeros(shape, ct.dtype).at[yi, xi].add(ct)
     return d_img, None, None, None

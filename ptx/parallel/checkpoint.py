@@ -58,6 +58,47 @@ class RenderAccumulator:
         os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
 
 
+class AdaptiveCheckpoint:
+    """Durable state for the adaptive sampler: per-pixel sample moments
+    (Σx, Σx², count) + completed-round counter.  Resuming re-enters
+    ptx.integrate.adaptive.render_adaptive via its ``state`` argument;
+    the refinement sequence is deterministic in (state, key), so an
+    interrupted-and-resumed render equals the uninterrupted one
+    (tests/test_scenes.py::test_adaptive_checkpoint_resume)."""
+
+    def __init__(self, height: int, width: int, path: str | None = None):
+        self.path = path
+        self.s1 = np.zeros((height, width, 3), np.float32)
+        self.s2 = np.zeros((height, width, 3), np.float32)
+        self.count = np.zeros((height, width), np.float32)
+        self.rounds_done = -1          # -1 = no base pass yet
+        if path and os.path.exists(path):
+            with np.load(path) as z:
+                self.s1 = z["s1"]
+                self.s2 = z["s2"]
+                self.count = z["count"]
+                self.rounds_done = int(z["rounds_done"])
+
+    @property
+    def state(self):
+        """``state`` tuple for render_adaptive, or None if fresh."""
+        if self.rounds_done < 0:
+            return None
+        return (self.s1, self.s2, self.count, self.rounds_done)
+
+    def update(self, s1, s2, count, rounds_done: int) -> None:
+        self.s1 = np.asarray(s1, np.float32)
+        self.s2 = np.asarray(s2, np.float32)
+        self.count = np.asarray(count, np.float32)
+        self.rounds_done = int(rounds_done)
+        if self.path:
+            tmp = self.path + ".tmp.npz"
+            np.savez_compressed(tmp, s1=self.s1, s2=self.s2,
+                                count=self.count,
+                                rounds_done=self.rounds_done)
+            os.replace(tmp, self.path)
+
+
 def save_params(path: str, params, step: int, key) -> None:
     flat, treedef = jax.tree.flatten(params)
     np.savez_compressed(

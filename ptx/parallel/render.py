@@ -79,6 +79,43 @@ def render_sharded(scene: CompiledScene, cam: Camera, mesh, key,
     return jax.jit(fn)(params, key)
 
 
+def render_sharded_moments(scene: CompiledScene, cam: Camera, mesh, key,
+                           spp: int = 16, depth: int = DEFAULT_RAY_DEPTH,
+                           params=None):
+    """Like :func:`render_sharded` but returns per-pixel sample moments
+    ``(s1, s2)`` — Σ radiance and Σ radiance² over all ``spp`` samples,
+    full-frame (H, W, 3) — the inputs the adaptive sampler's variance
+    ranking needs (ptx.integrate.adaptive).  Sums psum over the sample
+    axis so any mesh shape yields the same totals."""
+    params = scene.params if params is None else params
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    if cam.height % n_tiles or spp % n_samp:
+        raise ValueError("height/spp must divide the mesh axes")
+    rows = cam.height // n_tiles
+    spp_local = spp // n_samp
+
+    def body(params, key):
+        tile_idx = jax.lax.axis_index(TILE_AXIS)
+        samp_idx = jax.lax.axis_index(SAMPLE_AXIS)
+        y0 = tile_idx * rows
+        k = rng.fold(key, tile_idx, samp_idx)
+        ys = y0 + jnp.arange(rows)
+        o, d = sample_rays(cam, k, ys, jnp.arange(cam.width), spp_local)
+        rad = trace_rays(scene, params, o, d, k, depth)
+        s1 = jax.lax.psum(jnp.sum(rad, axis=0), SAMPLE_AXIS)
+        s2 = jax.lax.psum(jnp.sum(rad ** 2, axis=0), SAMPLE_AXIS)
+        return s1, s2
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(params, key)
+
+
 def make_train_step(scene: CompiledScene, cam: Camera, mesh,
                     spp: int = 16, depth: int = DEFAULT_RAY_DEPTH,
                     learning_rate: float = 1e-2, remat: bool = True,

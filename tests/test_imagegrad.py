@@ -93,3 +93,34 @@ def test_compiled_grad_matches_scatter_oracle_tpu():
     g = jax.jit(jax.grad(loss))(jnp.asarray(img))
     want = _scatter_oracle(*img.shape, yc, xc, inb, vals)
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=3e-5)
+
+
+def test_binned_hist_interpret_matches_oracle():
+    """The 2-D binned large-image kernel (arbitrary H×W — the 3k-probe
+    transpose): one small interpret call covering multiple y/x blocks,
+    out-of-bounds sentinels, and partial edge blocks."""
+    img, xi, yi, xc, yc, inb, vals = _case(H=100, W=600, C=4, N=2048,
+                                           seed=5)
+    H, W, C = img.shape
+    hist = imagegrad._build_banded_hist(H, W, C, interpret=True)
+    y = jnp.where(jnp.asarray(inb), jnp.asarray(yc), -1).astype(jnp.float32)
+    x = jnp.asarray(xc, jnp.float32)
+    got = hist(y, x, jnp.asarray(vals))
+    want = _scatter_oracle(H, W, C, yc, xc, inb, vals)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=3e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled binned kernel needs the TPU")
+def test_binned_hist_compiled_matches_oracle_tpu():
+    img, xi, yi, xc, yc, inb, vals = _case(H=1536, W=3072, C=4, N=65536,
+                                           seed=6)
+
+    def loss(im):
+        out = imagegrad.image_gather(im, jnp.asarray(xc), jnp.asarray(yc),
+                                     jnp.asarray(inb))
+        return jnp.sum(out * jnp.asarray(vals))
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(img))
+    want = _scatter_oracle(*img.shape, yc, xc, inb, vals)
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=3e-5)

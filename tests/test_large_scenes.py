@@ -251,3 +251,66 @@ def test_group_sweep_auto_selected_and_differentiates():
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.abs(np.asarray(grads["sphere_radius"])).max() > 0
+
+
+def test_union_sweep_kernel_matches_jnp_sweep():
+    """The Pallas sweep-select kernel (ptx.ops.sweep_kernel) must agree
+    event-for-event with the jnp post-sort pipeline it replaces — same
+    break detection, candidate minima, and payload tie-break.  Runs the
+    kernel in interpreter mode (ONE call, small batch: interpret costs
+    tens of seconds inside loops — CLAUDE.md)."""
+    world = stress_spheres(24)                      # L = 31, has gadgets
+    scene = compile_scene(world, pallas=False)
+    ref = compile_fast_hit(scene.plan, sweep=True, sweep_kernel=False)
+    ker = compile_fast_hit(scene.plan, sweep=True, sweep_kernel="interpret")
+    g = np.random.default_rng(7)
+    o = g.uniform(-4, 4, (512, 3)).astype(np.float32)
+    d = g.normal(size=(512, 3)).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = jax.jit(ker)(scene.params, o, d)
+    b = jax.jit(ref)(scene.params, o, d)
+    _assert_hits_match(a, b)
+    np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                  np.asarray(b["_evt"]))
+
+
+def test_union_sweep_kernel_tie_break_exact():
+    """Bitonic sort is unstable; the sweep's outputs must still be
+    tie-order independent (equal starts sort adjacent; only the first
+    breaks, and its prior-chain max excludes every equal-start peer
+    either way).  Pin event-exact agreement on the coincident-boundary
+    scene from test_union_sweep_matches_dense_evt."""
+    from ptx.scenes.builders import union_array, sky_planes
+    from ptx.geom.tape import Sphere, Plane
+    from ptx.shade.materials import Material
+
+    m1 = Material(reflect=(0.8, 0.3, 0.3), scatter=1.0)
+    m2 = Material(reflect=(0.3, 0.8, 0.3), scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    world = union_array([
+        Sphere((0.0, 0.0, -3.0), 1.0, m1),
+        Sphere((0.0, 0.0, -3.0), 1.0, m2),
+        Sphere((0.5, 0.0, -3.5), 1.0, m2),
+        Sphere((0.0, 0.0, -5.0), 1.0, m1),
+        Plane((0.0, 1.0, 0.0), 1.0, m1),
+        *sky_planes(sky),
+    ])
+    scene = compile_scene(world, pallas=False)
+    ref = compile_fast_hit(scene.plan, sweep=True, sweep_kernel=False)
+    ker = compile_fast_hit(scene.plan, sweep=True, sweep_kernel="interpret")
+    g = np.random.default_rng(3)
+    o = np.concatenate([np.zeros((128, 3)),
+                        np.array([[0.0, 0.0, -3.0]] * 64),
+                        g.uniform(-2, 2, (64, 3))]).astype(np.float32)
+    d = np.concatenate([
+        np.stack([g.uniform(-1, 1, 128), g.uniform(-1, 1, 128),
+                  np.full(128, -1.0)], -1),
+        np.array([[0.0, 0.0, -1.0]] * 64),
+        g.normal(size=(64, 3)),
+    ]).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = jax.jit(ker)(scene.params, o, d)
+    b = jax.jit(ref)(scene.params, o, d)
+    _assert_hits_match(a, b)
+    np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                  np.asarray(b["_evt"]))

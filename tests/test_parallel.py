@@ -181,3 +181,49 @@ def test_params_checkpoint_roundtrip(tmp_path, scene):
     np.testing.assert_array_equal(np.asarray(key), np.asarray(key2))
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), scene.params, params)
+
+
+def test_adaptive_checkpoint_resume(tmp_path, scene):
+    """Interrupt the adaptive render after round 1, resume from the
+    checkpoint, and get EXACTLY the uninterrupted result (the refinement
+    sequence is deterministic in (state, key)).  VERDICT r2 #8."""
+    import jax.numpy as jnp
+    from ptx.integrate.adaptive import render_adaptive
+    from ptx.parallel.checkpoint import AdaptiveCheckpoint
+
+    key = jax.random.PRNGKey(11)
+    kw = dict(spp_base=2, rounds=3, frac=0.25, spp_refine=2, depth=3)
+
+    img_full, counts_full, _ = render_adaptive(scene, CAM, key, **kw)
+
+    p = str(tmp_path / "adaptive.npz")
+    ck = AdaptiveCheckpoint(CAM.height, CAM.width, p)
+    # run only base + 1 round, checkpointing each step
+    render_adaptive(scene, CAM, key, **{**kw, "rounds": 1},
+                    state=ck.state, on_round=ck.update)
+    assert ck.rounds_done == 1
+    # resume in a fresh process-equivalent: reload from disk
+    ck2 = AdaptiveCheckpoint(CAM.height, CAM.width, p)
+    assert ck2.rounds_done == 1
+    img_res, counts_res, _ = render_adaptive(scene, CAM, key, **kw,
+                                             state=ck2.state,
+                                             on_round=ck2.update)
+    np.testing.assert_array_equal(np.asarray(counts_res),
+                                  np.asarray(counts_full))
+    np.testing.assert_allclose(np.asarray(img_res), np.asarray(img_full),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_adaptive_sharded_base_pass(scene):
+    """The adaptive base pass runs under shard_map; moments must equal
+    the mesh-shape-independent totals (same per-(tile, sample) folds)."""
+    from ptx.integrate.adaptive import render_adaptive
+
+    m = pmesh.make_mesh(tiles=4, samples=2)
+    key = jax.random.PRNGKey(12)
+    img, counts, _ = render_adaptive(scene, CAM, key, spp_base=2,
+                                     rounds=2, frac=0.25, spp_refine=2,
+                                     depth=3, mesh=m)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.asarray(counts).min() >= 2
+    assert np.asarray(counts).max() > 2      # refinement concentrated

@@ -101,7 +101,7 @@ def test_parse_transform_composition():
 def test_adaptive_concentrates_samples():
     scene = compile_scene(builders.baseline_config1())
     cam = Camera(16, 16)
-    img, counts = render_adaptive(scene, cam, jax.random.PRNGKey(0),
+    img, counts, _ = render_adaptive(scene, cam, jax.random.PRNGKey(0),
                                   spp_base=2, rounds=2, frac=0.1,
                                   spp_refine=4, depth=3)
     img = np.asarray(img); counts = np.asarray(counts)

@@ -58,7 +58,7 @@ def main():
     # adaptive: base 8 spp everywhere + 4 rounds × 1/8 of pixels × 16 spp
     # = 8 + 4·2 = 16 average spp — the same ray budget as dense
     def run_adaptive():
-        img, counts = render_adaptive(
+        img, counts, _ = render_adaptive(
             scene, cam, rng.fold(key, 2), spp_base=8, rounds=4,
             frac=0.125, spp_refine=16, depth=depth)
         run_adaptive.counts = np.asarray(counts)

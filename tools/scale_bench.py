@@ -60,6 +60,32 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
     fetch(x)
     dt = (time.perf_counter() - t0) / iters
     B = o.shape[0]
+
+    # fwd+bwd — the headline metric had never been measured at scale
+    # (VERDICT r2 #4).  Same dependent-chain + bytes-fetch methodology.
+    dt_g = None
+    if not force_blocked:
+        def loss(p, o):
+            r = trace_rays(scene, p, o, d, key, depth)
+            return jnp.mean(r)
+
+        @jax.jit
+        def gstep(o, acc):
+            v, g = jax.value_and_grad(loss)(scene.params, o)
+            return o + 1e-12 * v, acc + v
+
+        acc = jnp.float32(0.0)
+        x, acc = gstep(o, acc)
+        fetch(x); float(acc)
+        for _ in range(3):
+            x, acc = gstep(x, acc)
+        float(acc)
+        giters = 12
+        t0g = time.perf_counter()
+        for _ in range(giters):
+            x, acc = gstep(x, acc)
+        assert np.isfinite(float(acc))
+        dt_g = (time.perf_counter() - t0g) / giters
     from ptx.geom import tape as _tape
     from ptx.geom.fasthit import (union_decompose, _SWEEP_GROUP_MAX,
                                   _SWEEP_L_MIN)
@@ -73,7 +99,9 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
     return {"kind": kind, "units": n_spheres, "L": L,
             "strategy": "blocked" if force_blocked else auto,
             "compile_s": round(compile_s, 1),
-            "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2)}
+            "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2),
+            "fwd_bwd_mrps": (round(B * (depth + 1) / dt_g / 1e6, 2)
+                             if dt_g else None)}
 
 
 def main():
