@@ -669,13 +669,20 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None):
         e = jnp.where(valid, e, NEG)            # and never extends a chain
 
         if sweep_kernel:
-            # the kernel sorts in VMEM (bitonic over rows) AND does the
-            # prefix/selection/payload stages in the same launch — no
-            # XLA sort, one HBM pass per operand
+            # XLA sorts; ONE kernel launch then does prefix + selection +
+            # payload (pad-free when S/B are already tile-aligned).  The
+            # kernel can also sort in VMEM (bitonic, sort=True) — measured
+            # SLOWER at L=256 (7.24 vs 7.97 Mrays/s fwd): 36 shift-select
+            # passes over (256, 512) blocks are VMEM-bandwidth-bound and
+            # cost more than lax.sort's 3.1 ms.  Kept for small-S cases
+            # and as the negative result.
             from ptx.ops.sweep_kernel import build_sweep_select
+            s_s, e_s = jax.lax.sort((s, e), dimension=0, num_keys=1,
+                                    is_stable=True)
             sel = build_sweep_select(s.shape[0], L, float(EPS),
-                                     interpret=sweep_kernel == "interpret")
-            t_star, entering, m_start, m_end, found = sel(s, e, t0, t1)
+                                     interpret=sweep_kernel == "interpret",
+                                     sort=False)
+            t_star, entering, m_start, m_end, found = sel(s_s, e_s, t0, t1)
         else:
             # leaf identity does NOT ride the sort or the scan: the
             # winner's leaf is recovered afterwards from the UNSORTED

@@ -75,15 +75,19 @@ def _bitonic_by_s(s, e, Lp):
     row = jax.lax.broadcasted_iota(jnp.int32, (Lp, bw), 0).astype(
         jnp.float32)
 
-    def bit_clear(v, b):
-        return jnp.floor(v / float(b)) % 2.0 < 0.5
+    # masks stay f32 0/1 throughout: Mosaic on this toolchain rejects
+    # where(bool, bool, bool) select chains ("Unsupported target
+    # bitwidth for truncation") — CLAUDE.md / ptx.ops.fasthit_kernel
+    def bit_clear_f(v, b):
+        return jnp.where(jnp.floor(v / float(b)) % 2.0 < 0.5, 1.0, 0.0)
 
     size = 2
     while size <= Lp:
         stride = size // 2
         while stride >= 1:
-            lo_is_me = bit_clear(row, stride)
-            asc = bit_clear(row, size)
+            lo_f = bit_clear_f(row, stride)
+            asc_f = bit_clear_f(row, size)
+            lo_is_me = lo_f > 0.5
             # partner rows: i^stride = i+stride (bit clear) else i−stride
             up_s = _shift_up(s, stride, _PAD_T)
             dn_s = _shift_down(s, stride, _PAD_T)
@@ -91,9 +95,13 @@ def _bitonic_by_s(s, e, Lp):
             dn_e = _shift_down(e, stride, _NEG)
             ps = jnp.where(lo_is_me, up_s, dn_s)
             pe = jnp.where(lo_is_me, up_e, dn_e)
-            want_min = lo_is_me == asc
-            # strict compares keep (s, e) pairs a permutation under ties
-            take = jnp.where(want_min, ps < s, ps > s)
+            # want_min = (lo_is_me == asc); strict compares keep (s, e)
+            # pairs a permutation under ties
+            take_f = jnp.where(
+                lo_f == asc_f,
+                jnp.where(ps < s, 1.0, 0.0),
+                jnp.where(ps > s, 1.0, 0.0))
+            take = take_f > 0.5
             s = jnp.where(take, ps, s)
             e = jnp.where(take, pe, e)
             stride //= 2

@@ -29,6 +29,10 @@ CONFIGS = {
     "config1": builders.baseline_config1,
     "config2": builders.baseline_config2,
     "config3": builders.baseline_config3,
+    # config4 = HDR environment + image-textured material: the ONE
+    # config exercising the image-gradient/texture-transform stack that
+    # configs 1-3 never touch (VERDICT r2 #7)
+    "config4": builders.baseline_config4,
 }
 
 
