@@ -172,32 +172,37 @@ def build_emission_fn(material_fn, images):
         yc = jnp.clip(yi, 0.0, H - 1.0)
 
         # img_ref: (2·H_pad, 3·W_pad) bf16 — stacked hi/lo split of the
-        # f32 image.  Two DEFAULT-precision MXU passes (hi + lo) replace
-        # one precision=HIGHEST dot (~3 passes): the one-hot operand is
-        # exact in bf16, and hi+lo carries the image values to ~2⁻¹⁶
-        # relative (profile: the HIGHEST row-pull was 1.1 ms/step).
+        # f32 image.  The hi and lo halves are contracted in ONE
+        # DEFAULT-precision MXU dot whose one-hot selects row y in BOTH
+        # halves (``r % H_pad == y``): hi + lo then sum inside the MXU's
+        # f32 accumulator, carrying the image to ~2⁻¹⁶ relative.  This
+        # MUST NOT be two dots added afterwards — on this toolchain
+        # ``dot(hi, oh) + dot(lo, oh)`` gets folded into one bf16 dot of
+        # (hi + lo) computed IN BF16, which cancels the lo half exactly;
+        # the shipped round-2 kernel did that and returned bf16-rounded
+        # texels on hardware (caught by tools/tpu_golden.py: ~0.4%
+        # relative error on every sky lane, ×32-scale absolute error on
+        # near-sun texels — interpret mode does not fold, so CPU tests
+        # passed).
         H_pad = img_ref.shape[0] // 2
-        iota_h = jax.lax.broadcasted_iota(
-            jnp.int32, (H_pad, 128), 0).astype(jnp.float32)
+        iota_h2 = jax.lax.broadcasted_iota(
+            jnp.int32, (2 * H_pad, 128), 0).astype(jnp.float32)
+        iota_h2 = iota_h2 - jnp.floor(
+            iota_h2 / jnp.float32(H_pad)) * jnp.float32(H_pad)
         iota_x = jax.lax.broadcasted_iota(
             jnp.int32, (128, 128), 0).astype(jnp.float32)
-        img_hi = img_ref[:H_pad, :]
-        img_lo = img_ref[H_pad:, :]
 
         rows = [[], [], []]              # per-channel (1, 128) sublane rows
         for s in range(_T_ROWS):
             y_row = yc[s:s + 1, :]
-            ohy = jnp.where(
-                iota_h == jnp.broadcast_to(y_row, (H_pad, 128)),
+            ohy2 = jnp.where(
+                iota_h2 == jnp.broadcast_to(y_row, (2 * H_pad, 128)),
                 1.0, 0.0).astype(jnp.bfloat16)
-            # M1[j, l] = img_r[y_l, j] — hi + lo MXU passes per sublane
+            # M1[j, l] = img_hi[y_l, j] + img_lo[y_l, j] — one MXU pass
             dims = (((0,), (0,)), ((), ()))
-            m1 = (jax.lax.dot_general(
-                      img_hi, ohy, dims,
-                      preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(
-                      img_lo, ohy, dims,
-                      preferred_element_type=jnp.float32))  # (3·W_pad, 128)
+            m1 = jax.lax.dot_general(
+                img_ref[...], ohy2, dims,
+                preferred_element_type=jnp.float32)   # (3·W_pad, 128)
             x_row = jnp.broadcast_to(xc[s:s + 1, :], (128, 128))
             ohxs = [jnp.where(iota_x + jnp.float32(128 * xb) == x_row,
                               1.0, 0.0) for xb in range(KX)]
@@ -282,14 +287,26 @@ def build_emission_fn(material_fn, images):
 
     def _img_r(img):
         # j = c·W_PAD + x (rgb only — alpha is never read), hi/lo bf16
-        # split stacked along rows (kernel comment)
+        # split stacked along rows (kernel comment).
+        #
+        # The split MUST go through lax.reduce_precision: with this
+        # toolchain's --xla_allow_excess_precision=true, the naive
+        # ``r - f32(r.astype(bf16))`` is algebraically simplified to ZERO
+        # (the round-trip is treated as identity), silently shipping
+        # hi-only — every sky texel bf16-rounded on hardware, caught by
+        # tools/tpu_golden.py's depth-0 gate in round 3.  Interpret mode
+        # (CPU tests) does not simplify, which is why the kernel's own
+        # unit tests stayed green.  reduce_precision computes the bf16
+        # VALUE in f32 and is not foldable.
         r = jnp.zeros((H_PAD, 3 * W_PAD), jnp.float32)
         r = r.at[:IMG_H, :].set(
             jnp.pad(img[..., :3].transpose(0, 2, 1),
                     ((0, 0), (0, 0), (0, W_PAD - IMG_W))
                     ).reshape(IMG_H, 3 * W_PAD))
-        hi = r.astype(jnp.bfloat16)
-        lo = (r - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi_f32 = jax.lax.reduce_precision(r, exponent_bits=8,
+                                          mantissa_bits=7)
+        hi = hi_f32.astype(jnp.bfloat16)          # exact: already on grid
+        lo = (r - hi_f32).astype(jnp.bfloat16)
         return jax.lax.stop_gradient(jnp.concatenate([hi, lo], axis=0))
 
     def _forward(params, pos, mid):

@@ -1,0 +1,119 @@
+"""On-chip golden job (VERDICT r2 #7): the routine TPU regression the
+CPU goldens can't provide.
+
+1. Runs the fused-vs-unfused trace_rays agreement check on hardware
+   (the same assertion as tests/test_bounce_kernel.py::
+   test_fused_trace_rays_tpu, which is skipped off-TPU and so never runs
+   in the CPU suite) — a regression in the bounce/emission/fasthit
+   kernels fails HERE, not only in the manual parity harness.
+2. Renders a small fixed-key frame through the PRODUCTION TPU path
+   (fused kernels + compaction + manual VJP bench config) and prints a
+   content digest.  The digest recorded in STATUS.md pins the on-chip
+   output; exact reproduction requires the same libtpu/toolchain, so
+   treat digest drift across toolchains as "inspect", and the
+   fused-vs-unfused check (step 1) as the hard gate.
+
+Run: python tools/tpu_golden.py      (exit 1 on any failure)
+"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ptx.integrate import trace as tr
+    from ptx.integrate.camera import Camera, sample_rays
+    from ptx.scenes.builders import make_world
+    from ptx.utils.profiling import log
+
+    assert jax.default_backend() == "tpu", "tpu_golden needs the chip"
+
+    # --- 1. fused vs unfused agreement (hard gate) ---------------------
+    os.environ["PTX_FUSED"] = "1"
+    scene_f = tr.compile_scene(make_world())
+    assert scene_f.bounce_fn is not None and scene_f.emission_fn is not None
+    os.environ["PTX_FUSED"] = "0"
+    scene_u = tr.compile_scene(make_world())
+    assert scene_u.bounce_fn is None
+    os.environ.pop("PTX_FUSED", None)
+
+    B = 8192
+    rng = np.random.default_rng(3)
+    d = np.stack([rng.uniform(-0.6, 0.6, B), rng.uniform(-0.6, 0.6, B),
+                  -np.ones(B)], -1).astype(np.float32)
+    o = jnp.zeros((B, 3), jnp.float32)
+    d = jnp.asarray(d)
+    key = jax.random.PRNGKey(11)
+
+    # depth 0 = primary hit + emission only: no stochastic decisions.
+    # The in-kernel hit agrees with the standalone hit kernel EXACTLY
+    # (verified: 0 mat/t/evt mismatches at B=8192), so the only
+    # legitimate per-lane divergence is a texel flip where the Mosaic
+    # _acos approximation lands a direction on the other side of a texel
+    # boundary than XLA's transcendentals — measured ~0.6% of lanes on
+    # the demo (visible because the sun gradient is steep).  Gates:
+    # p99 of per-lane relative error must be fp-tight (catches
+    # whole-population bugs — this is the gate that caught the round-2
+    # bf16 hi/lo folding: 74% of lanes at ~0.4% error), and the flip
+    # fraction bounded.
+    rf0 = np.asarray(jax.jit(lambda p: tr.trace_rays(
+        scene_f, p, o, d, key, 0, compact=False))(scene_f.params))
+    ru0 = np.asarray(jax.jit(lambda p: tr.trace_rays(
+        scene_u, p, o, d, key, 0, compact=False))(scene_u.params))
+    rel0 = np.abs(rf0 - ru0).max(-1) / max(np.abs(ru0).max(), 1e-9)
+    p99 = float(np.percentile(rel0, 99))
+    flip_frac = float((rel0 > 1e-3).mean())
+    log("tpu_golden_depth0", p99_rel=p99, flip_frac=round(flip_frac, 5))
+    assert p99 < 1e-4, f"depth-0 p99 divergence {p99}"
+    assert flip_frac < 0.02, f"depth-0 texel-flip fraction {flip_frac}"
+    err0 = p99
+
+    # deep paths: 1-ulp differences in kernel-vs-XLA transcendentals can
+    # flip a branch coin or a texel at a rounding boundary, after which
+    # that lane's PATH legitimately decorrelates — so the deep gate is
+    # statistical: few divergent lanes, matching means
+    rf = np.asarray(jax.jit(lambda p: tr.trace_rays(
+        scene_f, p, o, d, key, 8, compact=False))(scene_f.params))
+    ru = np.asarray(jax.jit(lambda p: tr.trace_rays(
+        scene_u, p, o, d, key, 8, compact=False))(scene_u.params))
+    frac = float((np.abs(rf - ru).max(-1) > 1e-3).mean())
+    mean_rel = abs(rf.mean() - ru.mean()) / ru.mean()
+    log("tpu_golden_depth8", divergent_lane_frac=round(frac, 5),
+        mean_rel=float(mean_rel))
+    assert frac < 0.02, f"depth-8 divergent lanes {frac}"
+    assert mean_rel < 5e-3, f"depth-8 mean divergence {mean_rel}"
+    err = max(err0, frac)
+
+    # --- 2. fixed-key production render digest --------------------------
+    cam = Camera.reference_demo(128, 128)
+    ys = jnp.arange(128)
+    o2, d2 = sample_rays(cam, key, ys, jnp.arange(128), 4)
+
+    @jax.jit
+    def frame(p):
+        rad = tr.trace_rays(scene_f, p, o2.reshape(-1, 3),
+                            d2.reshape(-1, 3), key, 16, compact=True)
+        return jnp.mean(rad.reshape(4, 128, 128, 3), axis=0)
+
+    arr = np.asarray(frame(scene_f.params), np.float32)
+    digest = hashlib.sha256(np.round(arr, 4).tobytes()).hexdigest()[:16]
+    log("tpu_golden_render", mean=float(arr.mean()),
+        digest=digest, shape=list(arr.shape))
+    print(json.dumps({"depth0_rel_err": float(err0), "depth8_divergent_frac": frac,
+                      "render_digest": digest,
+                      "render_mean": round(float(arr.mean()), 6)}))
+
+
+if __name__ == "__main__":
+    main()
