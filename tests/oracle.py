@@ -74,7 +74,9 @@ class OMaterial:
         as3 = lambda v: np.broadcast_to(np.asarray(v, float), (3,)).astype(float)
         self.reflect = as3(reflect)
         self.scatter = float(scatter)
-        self.emissive = as3(emissive)
+        # positional emissive (image-textured skies in the matched-seed
+        # harness, tools/matched_seed.py) rides as a callable pos -> (3,)
+        self.emissive = emissive if callable(emissive) else as3(emissive)
         self.transmit = as3(transmit)
         self.ior = float(ior)
         self.transmit_reflect = float(transmit_reflect)
@@ -225,7 +227,8 @@ def trace_ray(world, o, d, depth, rng, strength=1.0, scatter_cap=10000):
         return np.zeros(3)
     t, normal, mat, ior = hit
     pos = o + t * d
-    retval = mat.emissive.copy()
+    retval = (np.asarray(mat.emissive(pos), float).copy()
+              if callable(mat.emissive) else mat.emissive.copy())
     add_factor = 1.0
     if depth <= 0 or strength < EPS:
         return retval
@@ -236,16 +239,30 @@ def trace_ray(world, o, d, depth, rng, strength=1.0, scatter_cap=10000):
         rd = refract(d, ior, normal)
         if np.any(rd):
             transmit = mat.transmit
+            t_strength = float(
+                np.float32(strength) * np.float32(refract_factor)
+                * np.float32(add_factor)
+                * np.float32(np.sqrt(np.float32(
+                    np.float32(transmit[0]) ** 2
+                    + np.float32(transmit[1]) ** 2
+                    + np.float32(transmit[2]) ** 2))))
             retval = retval + add_factor * refract_factor * transmit * trace_ray(
                 world, pos, rd, depth - 1, rng,
-                strength * refract_factor * add_factor * float(np.linalg.norm(transmit)),
+                t_strength,
                 scatter_cap)
             add_factor *= 1.0 - refract_factor
     if add_factor < EPS:
         return retval
 
     sc = min(1.0, max(0.0, mat.scatter))
-    count = int(10000 * strength * add_factor * sc)
+    # the DRAW-AFFECTING quantities run in float32 to track the
+    # reference binary's arithmetic exactly (matched-seed mode,
+    # tools/matched_seed.py): the child count int(10000·s·a·sc), the
+    # rejection-accept dot test, and the strength recursion all gate how
+    # many LCG draws are consumed — one f64-vs-f32 rounding flip
+    # desynchronizes the whole remaining stream (path-trace.h:118-162)
+    count = int(np.float32(10000.0) * np.float32(strength)
+                * np.float32(add_factor) * np.float32(sc))
     if sc <= EPS or count == 0:
         count = 1
     spawn = min(count, scatter_cap)
@@ -256,24 +273,43 @@ def trace_ray(world, o, d, depth, rng, strength=1.0, scatter_cap=10000):
         if sc > EPS:
             for _ in range(1000):
                 ball = _rand_ball(rng)
-                rdir = ball + (1.0 / sc - 1.0) * reflected
-                if np.dot(normal, rdir) > EPS:
+                rdir = (ball.astype(np.float32)
+                        + np.float32(np.float32(1.0) / np.float32(sc)
+                                     - np.float32(1.0))
+                        * reflected.astype(np.float32))
+                nr = np.float32(normal[0]) * rdir[0] \
+                    + np.float32(normal[1]) * rdir[1] \
+                    + np.float32(normal[2]) * rdir[2]
+                if nr > np.float32(EPS):
                     break
             else:
                 return retval
             rdir = normalize(rdir)
         factor = 1.0 - (1.0 - float(np.dot(rdir, normal))) * sc
+        child_strength = float(
+            np.float32(strength) / np.float32(count)
+            * np.float32(add_factor) * np.float32(factor)
+            * np.float32(np.sqrt(np.float32(
+                np.float32(reflect_tint[0]) ** 2
+                + np.float32(reflect_tint[1]) ** 2
+                + np.float32(reflect_tint[2]) ** 2))))
         retval = retval + add_factor / spawn * factor * reflect_tint * trace_ray(
             world, pos, rdir, depth - 1, rng,
-            strength / count * add_factor * factor * float(np.linalg.norm(reflect_tint)),
+            child_strength,
             scatter_cap)
     return retval
 
 
 def _rand_ball(rng):
+    # accept test in float32 — the reference's |v| > 1 reject is f32
+    # (vector3d.h:163-185), and a boundary flip desyncs the matched-seed
+    # LCG stream
     while True:
         v = rng.uniform(-1.0, 1.0, 3)
-        if np.linalg.norm(v) <= 1.0:
+        v32 = np.asarray(v, np.float32)
+        mag = np.float32(np.sqrt(np.float32(
+            v32[0] * v32[0] + v32[1] * v32[1] + v32[2] * v32[2])))
+        if not (mag > np.float32(1.0)):
             return v
 
 
