@@ -38,6 +38,8 @@ import dataclasses
 import os
 from typing import Any, Callable
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -928,18 +930,36 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     if skysel is None:
         skysel = os.environ.get("PTX_SKYSEL", "1") != "0"
     use_skysel = scene.emission_fn is None and term_chains and skysel
-    if use_skysel:
-        em_eval = scene.material_fn.eval_emissive_base
+    # mat-sum fast path: when every dynamic emissive chain is terminal
+    # (handled by sky-select), the base emission is a pure const-table
+    # function of mat_id — so instead of a per-LANE table gather + a
+    # select chain over every post-scan lane (~0.7 + 0.8 ms at 700k
+    # lanes, 3k profile) plus their one-hot-matmul transposes, fold the
+    # throughput sum per MATERIAL (M masked reduces, all elementwise)
+    # and multiply by the const rows once: contrib += Σ_m row_m · Σ_b
+    # where(live ∧ mid=m, thr).  Gradients: d row_m is a plain reduce,
+    # d thr a broadcast — no gathers, no scatters, no MXU transposes.
+    dyn_mis = set(scene.material_fn.dynamic_slots["emissive"])
+    term_mis = {mi for mi, _ in term_chains}
+    mat_sum = use_skysel and dyn_mis <= term_mis
+    if mat_sum:
+        em_cat = None
+        const_rows_em = np.asarray(
+            scene.material_fn.const_idx["emissive"])
     else:
-        em_eval = scene.emission_fn or scene.material_fn.eval_emissive
-    ys_cat = jnp.concatenate([ys.reshape(-1, 8) for ys, _ in saved])
-    # pos re-enters stop_gradient HERE: the packed ys is differentiable as
-    # a whole (thr columns), so a bare pos slice would re-open a pos
-    # cotangent chain through the emission trig — wasted transposes over
-    # every post-scan lane (d emissive/d pos ≡ 0 through nearest gathers)
-    em_cat = em_eval(
-        params, jax.lax.stop_gradient(ys_cat[:, 0:3]),
-        jax.lax.stop_gradient(ys_cat[:, 6]).astype(jnp.int32))
+        if use_skysel:
+            em_eval = scene.material_fn.eval_emissive_base
+        else:
+            em_eval = scene.emission_fn or scene.material_fn.eval_emissive
+        ys_cat = jnp.concatenate([ys.reshape(-1, 8) for ys, _ in saved])
+        # pos re-enters stop_gradient HERE: the packed ys is
+        # differentiable as a whole (thr columns), so a bare pos slice
+        # would re-open a pos cotangent chain through the emission trig —
+        # wasted transposes over every post-scan lane (d emissive/d pos
+        # ≡ 0 through nearest gathers)
+        em_cat = em_eval(
+            params, jax.lax.stop_gradient(ys_cat[:, 0:3]),
+            jax.lax.stop_gradient(ys_cat[:, 6]).astype(jnp.int32))
 
     sky_rows = []      # per phase: per terminal chain: (row (Bp, 8), has)
     sky_em = []        # per terminal chain: (ΣBp, 3) eval, split per phase
@@ -969,9 +989,22 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         nb, Bp, _ = ys.shape
         thr = ys[..., 3:6]
         live = ys[..., 7] > 0.5
-        em = em_cat[ofs:ofs + nb * Bp].reshape(nb, Bp, 3)
-        ofs += nb * Bp
-        contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0), axis=0)
+        if mat_sum:
+            mid = ys[..., 6]
+            contrib = jnp.zeros((Bp, 3), jnp.float32)
+            for m in range(scene.material_fn.n_materials):
+                if m in term_mis:
+                    continue        # terminal mats ride sky-select below
+                wsum = jnp.sum(
+                    jnp.where((live & (mid == float(m)))[..., None],
+                              thr, 0.0), axis=0)
+                contrib = contrib + wsum * params["const"][
+                    int(const_rows_em[m])]
+        else:
+            em = em_cat[ofs:ofs + nb * Bp].reshape(nb, Bp, 3)
+            ofs += nb * Bp
+            contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0),
+                              axis=0)
         if use_skysel:
             for ti in range(len(term_chains)):
                 row, has = sky_rows[pi][ti]
