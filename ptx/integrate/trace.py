@@ -963,6 +963,13 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
 
     sky_rows = []      # per phase: per terminal chain: (row (Bp, 8), has)
     sky_em = []        # per terminal chain: (ΣBp, 3) eval, split per phase
+    # PTX_SKYMERGE=1 merges the per-phase selected rows into a per-path
+    # (B, 8) buffer before the image eval — a measured NEGATIVE result
+    # (3k bench 209.9 → 154.7 Mrays/s): the (len(phases)−1) row
+    # scatter-sets cost more than evaluating/transposing the extra
+    # 0.4·B rows.  Kept off; the flag preserves the measurement.
+    sky_merged = (use_skysel and len(saved) > 1
+                  and os.environ.get("PTX_SKYMERGE", "0") == "1")
     if use_skysel:
         for ys, _ in saved:
             nb, Bp, _ = ys.shape
@@ -978,10 +985,37 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
                 row = jnp.sum(jnp.where(oh[..., None], ys, 0.0), axis=0)
                 per_chain.append((row, jnp.any(is_sel, axis=0)))
             sky_rows.append(per_chain)
-        for ti, (mi, fn) in enumerate(term_chains):
-            pos_cat = jnp.concatenate(
-                [sky_rows[pi][ti][0][:, 0:3] for pi in range(len(saved))])
-            sky_em.append(fn(params, jax.lax.stop_gradient(pos_cat)))
+        if sky_merged:
+            # cross-phase merge: a path's terminal hit lives in exactly
+            # ONE phase (terminality again), so the per-phase selected
+            # rows merge collision-free into a per-PATH (B, 8) buffer by
+            # orig index — the image chain and its binned transpose then
+            # run on B rows instead of Σ Bp ≈ 1.4·B, and the sky
+            # contribution adds to radiance directly (phase-0 indexing)
+            # with no extra scatter.  The merge itself is
+            # (len(phases)−1) small row scatters of ~B/3 + B/16 rows.
+            for ti, (mi, fn) in enumerate(term_chains):
+                row0, has0 = sky_rows[0][ti]
+                buf = jnp.concatenate(
+                    [row0, jnp.zeros((1, 8), jnp.float32)])   # + drop row
+                hasb = jnp.concatenate(
+                    [has0, jnp.zeros((1,), bool)])
+                for pi in range(1, len(saved)):
+                    row, has = sky_rows[pi][ti]
+                    orig = saved[pi][1]
+                    sel = has & (orig < B)
+                    tgt = jnp.where(sel, jnp.clip(orig, 0, B - 1), B)
+                    buf = buf.at[tgt].set(row)
+                    hasb = hasb.at[tgt].set(sel)
+                em = fn(params, jax.lax.stop_gradient(buf[:B, 0:3]))
+                radiance = radiance + jnp.where(
+                    hasb[:B, None], buf[:B, 3:6] * em, 0.0)
+        else:
+            for ti, (mi, fn) in enumerate(term_chains):
+                pos_cat = jnp.concatenate(
+                    [sky_rows[pi][ti][0][:, 0:3]
+                     for pi in range(len(saved))])
+                sky_em.append(fn(params, jax.lax.stop_gradient(pos_cat)))
 
     ofs = 0
     sky_ofs = [0] * len(term_chains)
@@ -1005,7 +1039,7 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             ofs += nb * Bp
             contrib = jnp.sum(jnp.where(live[..., None], thr * em, 0.0),
                               axis=0)
-        if use_skysel:
+        if use_skysel and not sky_merged:
             for ti in range(len(term_chains)):
                 row, has = sky_rows[pi][ti]
                 em_t = sky_em[ti][sky_ofs[ti]:sky_ofs[ti] + Bp]
