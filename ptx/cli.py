@@ -124,6 +124,43 @@ def cmd_render(args):
     spp_step = max(1, min(spp, args.spp_chunk))
     rows = max(1, min(cam.height, args.rays_per_chunk // (cam.width * spp_step)))
     t0 = time.time()
+
+    if not args.checkpoint and not args.preview and spp % spp_step == 0:
+        # full-speed path: each band's ENTIRE sample loop runs as one
+        # device-side fori dispatch — a host loop over chunks pays ~10 ms
+        # of dispatch overhead per (rows, W, 3) output on this backend
+        # (ptx.integrate.render._render_rows_fori; same per-chunk keys as
+        # the chunked path below).  Checkpoint/preview keep host
+        # boundaries for durability / live updates.
+        from ptx.integrate.render import _render_rows_fori
+        n_chunks = spp // spp_step
+        y0 = 0
+        while y0 < cam.height:
+            nrows = min(rows, cam.height - y0)
+            img = _render_rows_fori(scene, scene.params, cam, key,
+                                    y0, nrows, spp_step, n_chunks, depth)
+            acc.add(np.asarray(img), spp, y0)
+            meter.add(rays=nrows * cam.width * spp * (depth + 1),
+                      samples=nrows * cam.width * spp, tiles=1)
+            y0 += nrows
+            sys.stdout.write(f"\r[{y0}/{cam.height} rows] "
+                             f"{time.time() - t0:.1f}s")
+            sys.stdout.flush()
+        print()
+        final = acc.image()
+        stamp = f"{int(time.time()):08X}"
+        out_base = args.out or f"image{stamp}"
+        bmp_io.write(out_base + ".bmp", final)
+        hdr_io.write(out_base + ".hdr", final)
+        rays = cam.width * cam.height * spp * (depth + 1)
+        dt = time.time() - t0
+        meter.emit()
+        log("render_done", out=out_base, seconds=round(dt, 2),
+            rays_per_sec=round(rays / max(dt, 1e-9), 1))
+        print(f"wrote {out_base}.bmp/.hdr  "
+              f"({rays / max(dt, 1e-9):.3g} rays/s)")
+        return
+
     s = done_spp
     while s < spp:
         cur = min(spp_step, spp - s)
@@ -241,11 +278,26 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    import jax
     if os.environ.get("PTX_CPU") == "1":
         # force the CPU backend (this container's sitecustomize overrides
         # the JAX_PLATFORMS env var, so the config call is required)
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: without it EVERY ptx invocation pays the
+    # full XLA compile (~45 s for a 512² demo render on the remote TPU
+    # toolchain — measured 51 s wall of which ~0.6 s was device work);
+    # with it, repeat invocations of the same shapes start in seconds.
+    # Per-backend dirs: CPU AOT artifacts from the TPU host fail feature
+    # checks locally (CLAUDE.md).
+    try:
+        import jax as _jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("PTX_CACHE_DIR",
+                           f"/tmp/ptx-jax-cache-{_jax.default_backend()}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     p = argparse.ArgumentParser(prog="ptx",
                                 description="TPU-native CSG path tracer")
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -48,6 +48,35 @@ def _render_rows(scene: CompiledScene, params, cam: Camera, key,
                         spp, depth)
 
 
+@partial(jax.jit, static_argnames=("scene", "cam", "rows", "spp_chunk",
+                                   "n_chunks", "depth"))
+def _render_rows_fori(scene: CompiledScene, params, cam: Camera, key,
+                      y0, rows: int, spp_chunk: int, n_chunks: int,
+                      depth: int):
+    """All ``n_chunks · spp_chunk`` samples of a row band in ONE dispatch:
+    a device-side fori_loop accumulates sample chunks into the band image.
+
+    Why: on this backend a HOST loop over chunks with (rows, W, 3)
+    outputs pays ~10 ms of dispatch/runtime overhead per call — measured
+    155 vs 618 Mrays/s for identical traces (tools/wall_experiments.py).
+    Keys fold exactly as the host-chunked path's ``fold(key, s, y0)``
+    (s = chunk·spp_chunk), so the estimate matches it chunk-for-chunk.
+    ``y0`` is a traced argument: one executable serves every band."""
+    ys = y0 + jnp.arange(rows)
+    xs = jnp.arange(cam.width)
+
+    def body(i, acc):
+        k = rng.fold(key, i * spp_chunk, y0)
+        o, d = sample_rays(cam, k, ys, xs, spp_chunk)
+        rad = trace_rays(scene, params, o, d, k, depth)
+        return acc + jnp.mean(rad, axis=0)
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((rows, cam.width, 3), jnp.float32))
+    return acc / n_chunks
+
+
 def render(scene: CompiledScene, cam: Camera, key, spp: int = 16,
            depth: int = DEFAULT_RAY_DEPTH, params=None,
            rays_per_chunk: int = 2 ** 21, progress=None):
