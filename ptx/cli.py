@@ -122,10 +122,18 @@ def cmd_render(args):
         depth=depth, resume_spp=done_spp)
 
     spp_step = max(1, min(spp, args.spp_chunk))
+    # snap the sample chunk to a divisor of spp and the band height to a
+    # divisor of H: a ragged tail chunk/band is a SECOND executable — on
+    # this backend that is another full XLA compile (or persistent-cache
+    # load) for a few percent of the work
+    while spp % spp_step:
+        spp_step -= 1
     rows = max(1, min(cam.height, args.rays_per_chunk // (cam.width * spp_step)))
+    while cam.height % rows:
+        rows -= 1
     t0 = time.time()
 
-    if not args.checkpoint and not args.preview and spp % spp_step == 0:
+    if not args.checkpoint and not args.preview:
         # full-speed path: each band's ENTIRE sample loop runs as one
         # device-side fori dispatch — a host loop over chunks pays ~10 ms
         # of dispatch overhead per (rows, W, 3) output on this backend
