@@ -158,7 +158,24 @@ def compile_scene(root, fast: bool = True,
     # select in one launch): eligible when the scene has exactly one
     # supported dynamic emissive chain (ptx.ops.emission_kernel docstring)
     emission_fn = None
-    if want_fused and fast and pallas:
+    # Policy (round 3): when EVERY dynamic emissive chain is terminal
+    # (reflect ≡ transmit ≡ 0 — sky enclosures), SKIP the fused emission
+    # kernel: trace_rays's sky-select + mat-sum path evaluates the image
+    # chain on one bounce-selected lane per path (~1.4·B lanes) while the
+    # kernel evaluates every post-scan lane (~5.4·B) — measured 377.7 vs
+    # 353.6 Mrays/s fwd+bwd on the demo bench.  PTX_EMK=1 forces the
+    # kernel (A/B knob), PTX_EMK=0 disables it unconditionally.
+    emk_env = os.environ.get("PTX_EMK")
+    term_mis = {mi for mi, m in enumerate(ordered_materials)
+                if isinstance(m.reflect, tx.Constant)
+                and not np.any(np.asarray(m.reflect.color, np.float32))
+                and isinstance(m.transmit, tx.Constant)
+                and not np.any(np.asarray(m.transmit.color, np.float32))}
+    all_term = (set(material_fn.dynamic_slots["emissive"]) <= term_mis
+                and material_fn.dynamic_slots["emissive"])
+    want_emk = (emk_env == "1"
+                or (emk_env is None and not all_term))
+    if want_fused and fast and pallas and want_emk:
         from ptx.ops import emission_kernel
         if emission_kernel.supported(material_fn, compiler.images):
             emission_fn = emission_kernel.build_emission_fn(

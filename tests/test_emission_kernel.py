@@ -23,9 +23,11 @@ def scene():
     old_p, old_f = os.environ.get("PTX_PALLAS"), os.environ.get("PTX_FUSED")
     os.environ["PTX_PALLAS"] = "1"
     os.environ["PTX_FUSED"] = "1"
+    os.environ["PTX_EMK"] = "1"      # round 3: default prefers sky-select
     try:
         s = tr.compile_scene(make_world())
     finally:
+        os.environ.pop("PTX_EMK", None)
         for k, v in (("PTX_PALLAS", old_p), ("PTX_FUSED", old_f)):
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
     assert s.emission_fn is not None, "demo scene should be eligible"
@@ -73,9 +75,11 @@ def _compile_fused(root):
     old_p, old_f = os.environ.get("PTX_PALLAS"), os.environ.get("PTX_FUSED")
     os.environ["PTX_PALLAS"] = "1"
     os.environ["PTX_FUSED"] = "1"
+    os.environ["PTX_EMK"] = "1"      # round 3: default prefers sky-select
     try:
         return tr.compile_scene(root)
     finally:
+        os.environ.pop("PTX_EMK", None)
         for k, v in (("PTX_PALLAS", old_p), ("PTX_FUSED", old_f)):
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
 
