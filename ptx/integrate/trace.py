@@ -911,6 +911,54 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
         phases += [(s, dv) for s, dv in _COMPACT_SCHEDULE
                    if s <= depth and B // dv >= 1]
 
+    # emission routing decisions (also consumed by the post-scan block)
+    term_chains = getattr(scene.material_fn, "terminal_dynamic_emissive",
+                          [])
+    if skysel is None:
+        skysel = os.environ.get("PTX_SKYSEL", "1") != "0"
+    use_skysel = scene.emission_fn is None and term_chains and skysel
+    dyn_mis = set(scene.material_fn.dynamic_slots["emissive"])
+    term_mis = {mi for mi, _ in term_chains}
+    mat_sum = use_skysel and dyn_mis <= term_mis
+    # PTX_INSCAN=1: accumulate emission in the scan CARRY (per-phase
+    # mat-sum + running sky-select) instead of emitting per-bounce ys
+    # rows — removes the scan's dynamic_update_slice outputs and the
+    # post-scan slice/transpose machinery.  Only valid in the mat_sum
+    # regime (every dynamic emissive chain terminal).  A measured
+    # NEGATIVE on the demo bench (347.6 vs 377.7 Mrays/s fwd+bwd): the
+    # 12 extra carry columns ride the whole forward AND the scan's
+    # reverse pass saves the wrapper's residuals per bounce — costlier
+    # than the ys outputs they replace.  Kept behind the flag as the
+    # recorded measurement.
+    use_inscan = mat_sum and os.environ.get("PTX_INSCAN", "0") == "1"
+    if mat_sum:
+        const_rows_em = np.asarray(
+            scene.material_fn.const_idx["emissive"])
+
+    if use_inscan:
+        inner_bounce = bounce
+
+        def bounce(carry_ext, xs):
+            core, acc, skyrows, hases = carry_ext
+            core2, ys = inner_bounce(core, xs)
+            live = ys[:, 7] > 0.5
+            mid = ys[:, 6]
+            thr = ys[:, 3:6]
+            for m in range(scene.material_fn.n_materials):
+                if m in term_mis:
+                    continue
+                acc = acc + jnp.where(
+                    (live & (mid == float(m)))[:, None], thr,
+                    0.0) * params["const"][int(const_rows_em[m])]
+            thr_nz = jnp.sum(jnp.abs(thr), axis=-1) > 0.0
+            skyrows = list(skyrows)
+            hases = list(hases)
+            for ti, (mi, _fn) in enumerate(term_chains):
+                is_sel = live & (mid == float(mi)) & thr_nz
+                skyrows[ti] = jnp.where(is_sel[:, None], ys, skyrows[ti])
+                hases[ti] = hases[ti] | is_sel
+            return (core2, acc, tuple(skyrows), tuple(hases)), None
+
     carry = init
     orig_idx = jnp.arange(B, dtype=jnp.int32)
     radiance = jnp.zeros((B, 3), jnp.float32)
@@ -923,8 +971,33 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
                 key=rng.fold(key, 0x00C0, pi))
         xs = (phase_xs(start, end, B // div) if manual_vjp
               else jnp.arange(start, end))
-        carry, ys = jax.lax.scan(bounce, carry, xs)
-        saved.append((ys, orig_idx))
+        if use_inscan:
+            Bp = carry[0].shape[0]
+            zero_row = jnp.zeros((Bp, 8), jnp.float32)
+            ext = (carry,
+                   jnp.zeros((Bp, 3), jnp.float32),
+                   tuple(zero_row for _ in term_chains),
+                   tuple(jnp.zeros((Bp,), bool) for _ in term_chains))
+            (carry, acc, skyrows, hases), _ = jax.lax.scan(
+                bounce, ext, xs)
+            # bank the phase: sky chains eval on the selected rows
+            contrib = acc
+            for ti, (mi, fn) in enumerate(term_chains):
+                em = fn(params, jax.lax.stop_gradient(skyrows[ti][:, 0:3]))
+                contrib = contrib + jnp.where(
+                    hases[ti][:, None], skyrows[ti][:, 3:6] * em, 0.0)
+            if pi == 0:
+                radiance = radiance + contrib
+            else:
+                radiance = radiance.at[jnp.clip(orig_idx, 0, B - 1)].add(
+                    jnp.where((orig_idx < B)[:, None], contrib, 0.0),
+                    indices_are_sorted=True)
+        else:
+            carry, ys = jax.lax.scan(bounce, carry, xs)
+            saved.append((ys, orig_idx))
+
+    if use_inscan:
+        return radiance.reshape(batch_shape + (3,))
 
     # ALL phases' emission in ONE texture evaluation (and, in reverse
     # mode, one image-gradient histogram + one const-table transpose):
@@ -942,11 +1015,9 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     # select is exact, cuts the image gather AND its TPU scatter-add
     # transpose from Σ nb·Bp (~5.4·B) to Σ Bp (~1.6·B) rows, and runs as
     # a one-hot sum over the short bounce axis (no sort, no scatter).
-    term_chains = getattr(scene.material_fn, "terminal_dynamic_emissive",
-                          [])
-    if skysel is None:
-        skysel = os.environ.get("PTX_SKYSEL", "1") != "0"
-    use_skysel = scene.emission_fn is None and term_chains and skysel
+    # (term_chains / use_skysel / mat_sum / const_rows_em were decided
+    # above the scan — the in-scan path consumed them there.)
+    #
     # mat-sum fast path: when every dynamic emissive chain is terminal
     # (handled by sky-select), the base emission is a pure const-table
     # function of mat_id — so instead of a per-LANE table gather + a
@@ -956,13 +1027,8 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     # and multiply by the const rows once: contrib += Σ_m row_m · Σ_b
     # where(live ∧ mid=m, thr).  Gradients: d row_m is a plain reduce,
     # d thr a broadcast — no gathers, no scatters, no MXU transposes.
-    dyn_mis = set(scene.material_fn.dynamic_slots["emissive"])
-    term_mis = {mi for mi, _ in term_chains}
-    mat_sum = use_skysel and dyn_mis <= term_mis
     if mat_sum:
         em_cat = None
-        const_rows_em = np.asarray(
-            scene.material_fn.const_idx["emissive"])
     else:
         if use_skysel:
             em_eval = scene.material_fn.eval_emissive_base
