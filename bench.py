@@ -149,11 +149,32 @@ def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=1,
     dt_grad = run_chain(grad_fn, chunks_timed)
     dt_fwd = run_chain(fwd_fn, chunks_fwd, i0=10_000)
 
+    # the pilot runs hot on post-compile contamination and overestimates
+    # per-chunk cost — if a region undershot the target, rescale once
+    # from the region's own (clean) rate
+    if dt_grad < TARGET_TIMED_SECONDS * 0.8:
+        chunks_timed = min(4096, int(
+            chunks_timed * TARGET_TIMED_SECONDS / max(dt_grad, 1e-6)))
+    if dt_fwd < TARGET_TIMED_SECONDS * 0.8:
+        chunks_fwd = min(4096, int(
+            chunks_fwd * TARGET_TIMED_SECONDS / max(dt_fwd, 1e-6)))
+
+    # MEDIAN of 3 regions: same-config repeat runs on this backend spread
+    # ±8-15% (measured 350.2 / 400.8 / 409.2 for identical H/4 configs),
+    # so a single region is not a benchmark of record
+    dts_grad = sorted(run_chain(grad_fn, chunks_timed, i0=20_000 + 5000 * r)
+                      for r in range(3))
+    dts_fwd = sorted(run_chain(fwd_fn, chunks_fwd, i0=40_000 + 5000 * r)
+                     for r in range(3))
+    dt_grad, dt_fwd = dts_grad[1], dts_fwd[1]
+
     fwd_bwd_rps = rays_per_chunk * chunks_timed / dt_grad
     fwd_rps = rays_per_chunk * chunks_fwd / dt_fwd
     log("bench_measured",
         fwd_bwd_mrps=round(fwd_bwd_rps / 1e6, 2),
         fwd_mrps=round(fwd_rps / 1e6, 2),
+        fwd_bwd_spread_mrps=[round(rays_per_chunk * chunks_timed / d / 1e6,
+                                   1) for d in dts_grad],
         chunks=chunks_timed, rays_per_chunk=rays_per_chunk,
         timed_seconds=round(dt_grad, 2))
 
