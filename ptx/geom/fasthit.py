@@ -48,10 +48,13 @@ Three evaluation strategies share the same semantics:
   (ptx.geom.hitreplay).  Memory O(L·B), no unrolled-code growth;
 - **union sweep** (large L, union-only tapes — the ``unionArray``
   big-scene shape, /root/reference/src/test.cpp:52-64): for a pure union
-  the membership fold degenerates to interval coverage, so the first hit
-  falls out of a *sorted-interval sweep* in O(L log L) work per ray
-  instead of the O(L²) fold both other paths pay (which is the measured
-  compute wall at L≳128, STATUS.md).  See :func:`_compile_union_sweep`.
+  the membership fold degenerates to interval coverage.  The production
+  ``fixpoint`` mode finds the first boundary *sort-free*: ``min start``
+  for rays outside the coverage at EPS, else the merged-chain exit via a
+  fixed-point ``E ← max{e : s ≤ E}`` (2-4 masked-max passes on real
+  scenes) — O(L·hops) work vs the O(L log L) sorted sweep it replaced
+  (kept as the ``sort``/``kernel`` modes) and the O(L²) fold both other
+  paths pay.  See :func:`_compile_union_sweep`.
 """
 
 from __future__ import annotations
@@ -356,7 +359,8 @@ def _bits_at(node, leaf_pos, bits):
 
 def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
                      sweep: bool | None = None,
-                     sweep_kernel: bool | str | None = None):
+                     sweep_kernel: bool | str | None = None,
+                     sweep_mode: str | None = None):
     """Compile a tape plan (from tape.compile_geometry) into
     ``hit_fn(params, origin, dir) -> first-hit dict`` (same contract as
     ptx.integrate.trace.first_hit).
@@ -381,7 +385,8 @@ def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
         sweep = (candidate_block is None and L > _SWEEP_L_MIN
                  and len(groups) > 1 and gmax <= _SWEEP_GROUP_MAX)
     if sweep:
-        return _compile_union_sweep(plan, leaves, sweep_kernel=sweep_kernel)
+        return _compile_union_sweep(plan, leaves, sweep_kernel=sweep_kernel,
+                                    sweep_mode=sweep_mode)
     if candidate_block is None and L > _DENSE_L_MAX:
         candidate_block = _DEFAULT_CANDIDATE_BLOCK
     if candidate_block:
@@ -544,7 +549,8 @@ def _compile_blocked_hit(plan, leaves, block: int):
     return hit_fn
 
 
-def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None):
+def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
+                         sweep_mode: str | None = None):
     """Sorted-interval sweep first hit for union-decomposable tapes
     (strategy 3) — ``Union(g₁ … g_K)`` where each group ``g`` is a leaf or
     a small CSG gadget (≤ _SWEEP_GROUP_MAX leaves): the reference's
@@ -603,12 +609,24 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None):
     # L=256 — STATUS.md round 2).  sweep_kernel: True/False force it,
     # "interpret" runs the kernel in interpreter mode (CPU cross-tests),
     # None → env PTX_SWEEP_KERNEL, else on iff running on TPU.
-    if sweep_kernel is None:
-        env = os.environ.get("PTX_SWEEP_KERNEL")
-        if env is not None:
-            sweep_kernel = env == "1"
+    # mode resolution (newest first): explicit sweep_mode > explicit
+    # sweep_kernel (back-compat: True/"interpret" → the Pallas select
+    # kernel, False → the jnp sort pipeline) > env PTX_SWEEP_MODE >
+    # "fixpoint" — the sort-free chain-exit path below, the production
+    # default since it removes the sort entirely (see its block comment).
+    if sweep_mode is None:
+        if sweep_kernel in (True, "interpret"):
+            sweep_mode = "kernel"
+        elif sweep_kernel is False:
+            sweep_mode = "sort"
         else:
-            sweep_kernel = jax.default_backend() == "tpu"
+            envk = os.environ.get("PTX_SWEEP_KERNEL")
+            if envk == "1":
+                sweep_mode = "kernel"
+            else:
+                sweep_mode = os.environ.get("PTX_SWEEP_MODE", "fixpoint")
+    assert sweep_mode in ("fixpoint", "sort", "kernel"), sweep_mode
+    kernel_interpret = sweep_kernel == "interpret"
 
     # compile-time group table: leaf groups batch into one direct slice;
     # compound groups carry (subplan, global row indices, local positions)
@@ -668,7 +686,60 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None):
         s = jnp.where(valid, s, _PAD_T)         # invalid sorts to the end
         e = jnp.where(valid, e, NEG)            # and never extends a chain
 
-        if sweep_kernel:
+        if sweep_mode == "fixpoint":
+            # Sort-free chain-exit selection — the production path.  The
+            # sort only ever served to find the FIRST boundary ≥ EPS of
+            # the coverage function, and that boundary has a closed form:
+            #
+            # - if no valid interval starts below EPS, coverage on
+            #   [EPS, ∞) begins at the minimum start — every valid
+            #   interval then has s ≥ EPS (valid ⇒ e ≥ EPS and s < e), so
+            #   the first boundary is ``min s``, an ENTRY;
+            # - otherwise every interval with s < EPS reaches past EPS
+            #   (e ≥ EPS), so together they form ONE merged chain through
+            #   EPS whose coverage is contiguous; the first boundary is
+            #   that chain's EXIT, the fixed point of
+            #   ``E ← max(E, max{e : s ≤ E})`` seeded from
+            #   ``max{e : s < EPS}``.  Touching intervals (s == E) merge
+            #   via the non-strict compare — the union-coalescing rule —
+            #   and entries at s < E are covered, hence never boundaries.
+            #
+            # Each iteration extends E to the furthest end reachable in
+            # one hop, so iterations = chain "hop diameter" (2-4 on real
+            # scenes: a transmission ray sits inside one gadget), each a
+            # fused masked max over (S, B) — one HBM pass — versus the
+            # sort's ~log²S passes (the measured 3.1 ms wall at L=256,
+            # STATUS.md).  Termination is guaranteed: E strictly grows
+            # for some ray every iteration and takes values from the
+            # finite end set.  Selection is already stop-gradient.
+            has_below = jnp.any(s < EPS, axis=0)              # (B,)
+            t_entry = jnp.min(s, axis=0)                      # PAD if none
+            E0 = jnp.max(jnp.where(s < EPS, e, NEG), axis=0)
+
+            def _ext(E):
+                return jnp.maximum(E, jnp.max(
+                    jnp.where(s <= E[None, :], e, NEG), axis=0))
+
+            def _cond(c):
+                return ~c[1]
+
+            def _body(c):
+                E, _ = c
+                En = _ext(E)
+                return En, jnp.all(En == E)
+
+            E, _ = jax.lax.while_loop(_cond, _body,
+                                      (E0, jnp.array(False)))
+
+            t_star = jnp.where(has_below, E, t_entry)
+            entering = ~has_below
+            found = t_star < 2e20
+            lf = jnp.arange(L, dtype=jnp.int32)[:, None]
+            m_start = jnp.min(
+                jnp.where(t0 == t_star[None, :], lf, L), axis=0)
+            m_end = jnp.min(
+                jnp.where(t1 == t_star[None, :], lf, L), axis=0)
+        elif sweep_mode == "kernel":
             # XLA sorts; ONE kernel launch then does prefix + selection +
             # payload (pad-free when S/B are already tile-aligned).  The
             # kernel can also sort in VMEM (bitonic, sort=True) — measured
@@ -680,7 +751,7 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None):
             s_s, e_s = jax.lax.sort((s, e), dimension=0, num_keys=1,
                                     is_stable=True)
             sel = build_sweep_select(s.shape[0], L, float(EPS),
-                                     interpret=sweep_kernel == "interpret",
+                                     interpret=kernel_interpret,
                                      sort=False)
             t_star, entering, m_start, m_end, found = sel(s_s, e_s, t0, t1)
         else:

@@ -148,12 +148,13 @@ def test_union_sweep_auto_selected_and_differentiates():
     full trace + manual-VJP pipeline stays finite through it."""
     world = stress_spheres(96)
     scene = compile_scene(world, pallas=False)
-    # auto-pick: union-only and L=103 > _SWEEP_L_MIN → sweep (no scan in
-    # the jaxpr, unlike the blocked path)
+    # auto-pick: union-only and L=103 > _SWEEP_L_MIN → sweep, default
+    # fixpoint mode (chain-exit while_loop; no global sort, no scan —
+    # the blocked path's marker)
     jaxpr = jax.make_jaxpr(
         lambda p, o, d: scene.hit_fn(p, o, d)["t"])(
             scene.params, jnp.zeros((8, 3)), jnp.ones((8, 3)))
-    assert "sort" in str(jaxpr)
+    assert "while" in str(jaxpr) and "sort[" not in str(jaxpr)
     o, d = _rays(128, seed=5)
     key = jax.random.PRNGKey(0)
 
@@ -235,11 +236,13 @@ def test_group_sweep_auto_selected_and_differentiates():
     scene = compile_scene(world, pallas=False)
     L = len(collect_leaves(scene.plan))
     assert L > _SWEEP_L_MIN and len(union_decompose(scene.plan)) == 31
-    # auto-pick lands on the sweep: no lax.scan (the blocked path's marker)
+    # auto-pick lands on the sweep (fixpoint): compound groups still sort
+    # locally for rank pairing, the chain walk is a while_loop, and there
+    # is no lax.scan (the blocked path's marker)
     jaxpr = str(jax.make_jaxpr(
         lambda p, o, d: scene.hit_fn(p, o, d)["t"])(
             scene.params, jnp.zeros((8, 3)), jnp.ones((8, 3))))
-    assert "sort" in jaxpr and "while" not in jaxpr and "scan" not in jaxpr
+    assert "sort[" in jaxpr and "while" in jaxpr and "scan" not in jaxpr
     o, d = _rays(128, seed=6)
     key = jax.random.PRNGKey(0)
 
@@ -251,6 +254,59 @@ def test_group_sweep_auto_selected_and_differentiates():
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.abs(np.asarray(grads["sphere_radius"])).max() > 0
+
+
+def test_sweep_fixpoint_matches_sort_evt():
+    """The sort-free fixpoint mode (the production default) must agree
+    event-for-event with the sorted-sweep pipeline it replaces, on the
+    adversarial coincident-boundary scene AND on compound gadgets with
+    rays originating inside geometry (chains longer than one hop)."""
+    from ptx.scenes.builders import (union_array, sky_planes,
+                                     stress_gadgets, stress_spheres)
+    from ptx.geom.tape import Sphere, Plane
+    from ptx.shade.materials import Material
+
+    m1 = Material(reflect=(0.8, 0.3, 0.3), scatter=1.0)
+    m2 = Material(reflect=(0.3, 0.8, 0.3), scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    worlds = [
+        union_array([
+            Sphere((0.0, 0.0, -3.0), 1.0, m1),
+            Sphere((0.0, 0.0, -3.0), 1.0, m2),   # identical — ties
+            Sphere((0.5, 0.0, -3.5), 1.0, m2),   # overlapping chain
+            Sphere((0.0, 0.0, -5.0), 1.0, m1),   # touching along the axis
+            # a rod of overlapping spheres along -z: multi-hop chains for
+            # rays inside it (the fixpoint's worst-case shape)
+            *[Sphere((0.0, -0.5, -2.0 - 0.7 * i), 0.5, m1)
+              for i in range(12)],
+            Plane((0.0, 1.0, 0.0), 1.0, m1),
+            *sky_planes(sky),
+        ]),
+        stress_spheres(57),
+        stress_gadgets(9, seed=4),
+    ]
+    g = np.random.default_rng(11)
+    for world in worlds:
+        scene = compile_scene(world, pallas=False)
+        fix = compile_fast_hit(scene.plan, sweep=True, sweep_mode="fixpoint")
+        srt = compile_fast_hit(scene.plan, sweep=True, sweep_mode="sort")
+        o = np.concatenate([
+            np.zeros((128, 3)),
+            np.array([[0.0, -0.5, -4.0]] * 64),   # inside the rod
+            g.uniform(-3, 3, (192, 3)),
+        ]).astype(np.float32)
+        d = np.concatenate([
+            np.stack([g.uniform(-1, 1, 128), g.uniform(-1, 1, 128),
+                      np.full(128, -1.0)], -1),
+            np.array([[0.0, 0.0, -1.0]] * 32 + [[0.0, 0.0, 1.0]] * 32),
+            g.normal(size=(192, 3)),
+        ]).astype(np.float32)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        a = jax.jit(fix)(scene.params, o, d)
+        b = jax.jit(srt)(scene.params, o, d)
+        _assert_hits_match(a, b)
+        np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                      np.asarray(b["_evt"]))
 
 
 def test_union_sweep_kernel_matches_jnp_sweep():
