@@ -629,9 +629,20 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
     kernel_interpret = sweep_kernel == "interpret"
 
     # compile-time group table: leaf groups batch into one direct slice;
-    # compound groups carry (subplan, global row indices, local positions)
+    # compound groups batch BY STRUCTURE CLASS — same op tree ⇒ identical
+    # membership fold, so all G instances run as ONE (G, 2m, m, B) fold +
+    # ONE (G, 2m, B) sort per class instead of per-group ops (a 112-gadget
+    # scene is 3 classes, not 112 op groups — the per-group dispatch was
+    # the measured gadget-vs-sphere throughput gap at equal L, STATUS.md).
     leaf_pos = {id(lf): i for i, (lf, _) in enumerate(leaves)}
-    leaf_rows, compound = [], []
+    leaf_rows = []
+    classes: dict = {}          # structure sig → [rep_plan, rep_pos, [gidx]]
+
+    def _sig(node, local_pos):
+        if isinstance(node, tape._LeafPlan):
+            return ("L", local_pos[id(node)])
+        return (node.op, tuple(_sig(c, local_pos) for c in node.children))
+
     for g in union_decompose(plan):
         if isinstance(g, tape._LeafPlan):
             leaf_rows.append(leaf_pos[id(g)])
@@ -639,8 +650,13 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
             sub = collect_leaves(g)
             gidx = np.array([leaf_pos[id(lf)] for lf, _ in sub])
             local_pos = {id(lf): j for j, (lf, _) in enumerate(sub)}
-            compound.append((g, gidx, local_pos))
+            key = _sig(g, local_pos)
+            if key not in classes:
+                classes[key] = [g, local_pos, []]
+            classes[key][2].append(gidx)
     leaf_rows = np.array(leaf_rows, np.int32)
+    compound = [(rep, pos, np.stack(gs).astype(np.int32))   # (G, m)
+                for rep, pos, gs in classes.values()]
 
     def hit_fn(params, origin, direction):
         batch_shape = origin.shape[:-1]
@@ -657,25 +673,27 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
 
         parts_s = [t0[leaf_rows]] if len(leaf_rows) else []
         parts_e = [t1[leaf_rows]] if len(leaf_rows) else []
-        for gplan, gidx, local_pos in compound:
-            m = len(gidx)
-            gt0, gt1 = t0[gidx], t1[gidx]                    # (m, B)
-            ev = jnp.concatenate([gt0, gt1], axis=0)         # (2m, B)
-            ts = ev[:, None, :]
-            after = (gt0[None] <= ts) & (ts < gt1[None])     # (2m, m, B)
-            before = (gt0[None] < ts) & (ts <= gt1[None])
-            ra = _bits_at(gplan, local_pos, after)           # (2m, B)
+        for gplan, local_pos, gidx_mat in compound:
+            G, m = gidx_mat.shape
+            gt0 = t0[gidx_mat.reshape(-1)].reshape(G, m, B)
+            gt1 = t1[gidx_mat.reshape(-1)].reshape(G, m, B)
+            ev = jnp.concatenate([gt0, gt1], axis=1)         # (G, 2m, B)
+            ts = ev[:, :, None, :]                           # (G, 2m, 1, B)
+            after = (gt0[:, None] <= ts) & (ts < gt1[:, None])
+            before = (gt0[:, None] < ts) & (ts <= gt1[:, None])
+            ra = _bits_at(gplan, local_pos, after)           # (G, 2m, B)
             rb = _bits_at(gplan, local_pos, before)
             bnd = ra != rb
-            ent = jax.lax.sort(jnp.where(bnd & ra, ev, _PAD_T), dimension=0)
-            exi = jax.lax.sort(jnp.where(bnd & ~ra, ev, _PAD_T), dimension=0)
+            ent = jax.lax.sort(jnp.where(bnd & ra, ev, _PAD_T), dimension=1)
+            exi = jax.lax.sort(jnp.where(bnd & ~ra, ev, _PAD_T), dimension=1)
             # coincident events all classify the same way — drop
             # adjacent-equal duplicates, re-sort to restore rank pairing
             dedup = lambda a: jax.lax.sort(jnp.concatenate(
-                [a[:1], jnp.where(a[1:] == a[:-1], _PAD_T, a[1:])], axis=0),
-                dimension=0)
-            parts_s.append(dedup(ent)[:m])
-            parts_e.append(dedup(exi)[:m])
+                [a[:, :1],
+                 jnp.where(a[:, 1:] == a[:, :-1], _PAD_T, a[:, 1:])],
+                axis=1), dimension=1)
+            parts_s.append(dedup(ent)[:, :m].reshape(G * m, B))
+            parts_e.append(dedup(exi)[:, :m].reshape(G * m, B))
         s = jnp.concatenate(parts_s, axis=0)                 # (S, B), S ≤ L
         e = jnp.concatenate(parts_e, axis=0)
 

@@ -82,6 +82,28 @@ def main(n_spheres=249, B=65536):
             tx, jnp.where(inc_e[-1] >= EPS, inc_e[-1], _PAD_T))
         return jnp.minimum(te, tx)
 
+    def with_fixpoint(o):
+        # mirrors the production fixpoint selection (fasthit sweep_mode
+        # "fixpoint"): uncovered rays take min start, covered rays take
+        # the chain-exit fixed point
+        t0, t1 = intervals(o)
+        valid = (t0 < t1) & (t1 >= EPS)
+        s = jnp.where(valid, t0, _PAD_T)
+        e = jnp.where(valid, t1, NEG)
+        has_below = jnp.any(s < EPS, axis=0)
+        t_entry = jnp.min(s, axis=0)
+        E0 = jnp.max(jnp.where(s < EPS, e, NEG), axis=0)
+
+        def body(c):
+            E, _ = c
+            En = jnp.maximum(E, jnp.max(
+                jnp.where(s <= E[None, :], e, NEG), axis=0))
+            return En, jnp.all(En == E)
+
+        E, _ = jax.lax.while_loop(lambda c: ~c[1], body,
+                                  (E0, jnp.array(False)))
+        return jnp.where(has_below, E, t_entry)
+
     hit_fn = scene.hit_fn
 
     def full(o):
@@ -94,6 +116,8 @@ def main(n_spheres=249, B=65536):
             with_sort(o)[0][0], -1, 1)[:, None],
         "+selection": lambda o: o + 1e-12 * jnp.clip(
             with_selection(o), -1, 1)[:, None],
+        "+fixpoint": lambda o: o + 1e-12 * jnp.clip(
+            with_fixpoint(o), -1, 1)[:, None],
         "full_hit": lambda o: o + 1e-12 * jnp.clip(full(o), -1, 1)[:, None],
     }
     out = {"L": L, "B": B}
