@@ -252,8 +252,25 @@ def main():
     ap.add_argument("--sky", default=None,
                     help="HxW synthetic probe size (e.g. 1536x3072)")
     ap.add_argument("--no-frame-check", action="store_true")
+    ap.add_argument("--no-golden", action="store_true",
+                    help="skip the on-chip golden gates (debug only)")
     args = ap.parse_args()
     sky = tuple(int(v) for v in args.sky.split("x")) if args.sky else None
+
+    # On-chip golden gates run BEFORE the benchmark of record (VERDICT r3
+    # #4a): the fused-vs-unfused kernel agreement + render digest are the
+    # only checks that see hardware-only bugs (the CPU suite forces the
+    # CPU backend), so a kernel regression must fail the routine flow
+    # loudly rather than ship behind a fast number.
+    import jax
+    if not args.no_golden and jax.default_backend() == "tpu":
+        from tools.tpu_golden import run_golden
+        from ptx.utils.profiling import log
+        t0 = time.time()
+        golden = run_golden()      # raises on any gate failure
+        log("bench_golden_gates", seconds=round(time.time() - t0, 1),
+            **golden)
+
     fwd_bwd_rps, fwd_rps = bench_tpu(sky=sky,
                                      frame_check=not args.no_frame_check)
     name = "rays_per_sec_per_chip_fwd_bwd_512x512_64spp_depth16"

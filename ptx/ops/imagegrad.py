@@ -310,27 +310,45 @@ def _bwd(res, ct):
     shape, xi, yi, inb = res
     H, W, C = shape
     ct = jnp.where(inb[..., None], ct, 0.0)
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and _hist_eligible(H, W, C):
-        y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
-        x = xi.astype(jnp.float32).reshape(-1)
-        vals = ct.reshape(-1, C)
-        n = y.shape[0]
-        pad = (-n) % _LANES
-        if pad:
-            y = jnp.concatenate([y, jnp.full((pad,), -1.0, jnp.float32)])
-            x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
-            vals = jnp.concatenate(
-                [vals, jnp.zeros((pad, C), jnp.float32)])
-        hist = _build_hist(H, W, C, interpret=False)
-        d_img = hist(y, x, vals)
-    elif on_tpu and _banded_eligible(H, W, C):
-        y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
-        x = xi.astype(jnp.float32).reshape(-1)
-        hist = _build_banded_hist(H, W, C, interpret=False)
-        d_img = hist(y, x, ct.reshape(-1, C))
+
+    def scatter_path(xi, yi, ct):
+        return jnp.zeros(shape, ct.dtype).at[yi, xi].add(ct)
+
+    # Platform dispatch happens at LOWERING time (lax.platform_dependent),
+    # not trace time: jax.default_backend() is a process-global that lies
+    # whenever a TPU-default process stages a computation onto CPU devices
+    # (the 8-virtual-device dryrun/mesh path — the kernel branch then
+    # either crashed the CPU lowering or silently shipped the wrong
+    # transpose).  Now each backend lowers its own branch.
+    if _hist_eligible(H, W, C):
+        def tpu_path(xi, yi, ct):
+            y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
+            x = xi.astype(jnp.float32).reshape(-1)
+            vals = ct.reshape(-1, C)
+            n = y.shape[0]
+            pad = (-n) % _LANES
+            if pad:
+                y = jnp.concatenate(
+                    [y, jnp.full((pad,), -1.0, jnp.float32)])
+                x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
+                vals = jnp.concatenate(
+                    [vals, jnp.zeros((pad, C), jnp.float32)])
+            hist = _build_hist(H, W, C, interpret=False)
+            return hist(y, x, vals)
+
+        d_img = jax.lax.platform_dependent(xi, yi, ct, tpu=tpu_path,
+                                           default=scatter_path)
+    elif _banded_eligible(H, W, C):
+        def tpu_path(xi, yi, ct):
+            y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
+            x = xi.astype(jnp.float32).reshape(-1)
+            hist = _build_banded_hist(H, W, C, interpret=False)
+            return hist(y, x, ct.reshape(-1, C))
+
+        d_img = jax.lax.platform_dependent(xi, yi, ct, tpu=tpu_path,
+                                           default=scatter_path)
     else:
-        d_img = jnp.zeros(shape, ct.dtype).at[yi, xi].add(ct)
+        d_img = scatter_path(xi, yi, ct)
     return d_img, None, None, None
 
 

@@ -14,6 +14,11 @@ CPU goldens can't provide.
    fused-vs-unfused check (step 1) as the hard gate.
 
 Run: python tools/tpu_golden.py      (exit 1 on any failure)
+
+Round 4: the gates are also a ROUTINE flow — ``bench.py`` imports
+:func:`run_golden` and fails loudly before reporting a benchmark number
+(VERDICT r3 #4a), so a Pallas-kernel regression can no longer ship
+behind a green CPU suite.
 """
 
 import hashlib
@@ -25,7 +30,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def run_golden():
+    """Run the on-chip gates; returns the result dict, raises on failure."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -113,9 +119,15 @@ def main():
     digest = hashlib.sha256(np.round(arr, 4).tobytes()).hexdigest()[:16]
     log("tpu_golden_render", mean=float(arr.mean()),
         digest=digest, shape=list(arr.shape))
-    print(json.dumps({"depth0_rel_err": float(err0), "depth8_divergent_frac": frac,
-                      "render_digest": digest,
-                      "render_mean": round(float(arr.mean()), 6)}))
+    assert np.isfinite(arr).all(), "render digest frame has non-finite pixels"
+    return {"depth0_rel_err": float(err0),
+            "depth8_divergent_frac": frac,
+            "render_digest": digest,
+            "render_mean": round(float(arr.mean()), 6)}
+
+
+def main():
+    print(json.dumps(run_golden()))
 
 
 if __name__ == "__main__":
