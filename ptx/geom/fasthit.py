@@ -59,6 +59,7 @@ Three evaluation strategies share the same semantics:
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -386,7 +387,8 @@ def compile_fast_hit(plan, params_ref=None, candidate_block: int | None = None,
                  and len(groups) > 1 and gmax <= _SWEEP_GROUP_MAX)
     if sweep:
         return _compile_union_sweep(plan, leaves, sweep_kernel=sweep_kernel,
-                                    sweep_mode=sweep_mode)
+                                    sweep_mode=sweep_mode,
+                                    params_ref=params_ref)
     if candidate_block is None and L > _DENSE_L_MAX:
         candidate_block = _DEFAULT_CANDIDATE_BLOCK
     if candidate_block:
@@ -549,8 +551,93 @@ def _compile_blocked_hit(plan, leaves, block: int):
     return hit_fn
 
 
+def _float0_zeros(x):
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mega_replay(replay, params, o3, d3, evt, entering, hit, kt, kn):
+    """Forward = the megasweep kernel's in-VMEM replay values (kt, kn);
+    backward = the exact differentiable replay's VJP at the frozen
+    decisions (evt, entering, hit)."""
+    return kt, kn
+
+
+def _mega_replay_fwd(replay, params, o3, d3, evt, entering, hit, kt, kn):
+    return (kt, kn), (params, o3, d3, evt, entering, hit, kt, kn)
+
+
+def _mega_replay_bwd(replay, res, cts):
+    params, o3, d3, evt, entering, hit, kt, kn = res
+    _, vjp = jax.vjp(
+        lambda p, o, d: replay(p, o, d, evt, entering, hit),
+        params, o3, d3)
+    gp, go, gd = vjp(cts)
+    return (gp, go, gd, _float0_zeros(evt), _float0_zeros(entering),
+            _float0_zeros(hit), jnp.zeros_like(kt), jnp.zeros_like(kn))
+
+
+_mega_replay.defvjp(_mega_replay_fwd, _mega_replay_bwd)
+
+
+def _compile_mega_sweep(plan, leaves, params_ref, interpret=False):
+    """Fused megasweep first hit (strategy 3, ``mega`` mode): ONE Pallas
+    launch constructs leaf intervals in VMEM, runs the chain-exit
+    fixpoint, and equality-matches the winner — with runtime
+    bounding-sphere cluster culling per (cluster, ray-block).  Semantics
+    identical to the fixpoint mode cell-for-cell; see ptx.ops.megasweep.
+    Selection is stop-gradient; the winner's differentiable t/normal come
+    from the selected-leaf replay, as in every large-scene path."""
+    from ptx.geom import hitreplay
+    from ptx.ops.megasweep import build_mega_sweep
+
+    L = len(leaves)
+    parity_np = np.array([p for _, p in leaves], np.float32)
+    replay = hitreplay.build_hit_replay(leaves, parity_np)
+    mega = build_mega_sweep(plan, leaves, eps=float(EPS),
+                            params_ref=params_ref, interpret=interpret)
+
+    def hit_fn(params, origin, direction):
+        batch_shape = origin.shape[:-1]
+        flat = lambda a: a.reshape((-1,))
+        ox, oy, oz = (flat(origin[..., i]) for i in range(3))
+        dx, dy, dz = (flat(direction[..., i]) for i in range(3))
+
+        (t_star, entering, m_start, m_end, found,
+         kt, kn, kmat, hit) = mega(params, ox, oy, oz, dx, dy, dz)
+
+        use_start = m_start < L
+        leaf_star = jnp.where(use_start, m_start, jnp.minimum(m_end, L - 1))
+        evt = jnp.where(hit, jnp.where(use_start, leaf_star, L + leaf_star),
+                        0).astype(jnp.int32)
+
+        # In-kernel replay FORWARD + XLA replay BACKWARD: the winner's
+        # t/normal are already evaluated in VMEM by the kernel (the XLA
+        # replay's per-lane (B, 26) row gathers were 10.8 of 15 ms/step
+        # at L=256 — tools/mega_check round 4); gradients still flow
+        # through the exact differentiable replay, evaluated only inside
+        # the custom-VJP backward (same decision-frozen pattern as
+        # trace._make_manual_bounce).
+        o3 = origin.reshape(-1, 3)
+        d3 = direction.reshape(-1, 3)
+        t_rep, normal = _mega_replay(replay, params, o3, d3,
+                                     evt, entering, hit, kt, kn)
+
+        unflat = lambda a: a.reshape(batch_shape)
+        return {
+            "t": unflat(t_rep),
+            "normal": normal.reshape(batch_shape + (3,)),
+            "mat_id": unflat(jnp.where(hit, kmat, 0)),
+            "entering": unflat(entering),
+            "hit": unflat(hit),
+            "_evt": unflat(evt),
+        }
+
+    return hit_fn
+
+
 def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
-                         sweep_mode: str | None = None):
+                         sweep_mode: str | None = None, params_ref=None):
     """Sorted-interval sweep first hit for union-decomposable tapes
     (strategy 3) — ``Union(g₁ … g_K)`` where each group ``g`` is a leaf or
     a small CSG gadget (≤ _SWEEP_GROUP_MAX leaves): the reference's
@@ -614,6 +701,7 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
     # kernel, False → the jnp sort pipeline) > env PTX_SWEEP_MODE >
     # "fixpoint" — the sort-free chain-exit path below, the production
     # default since it removes the sort entirely (see its block comment).
+    from ptx.ops.megasweep import mega_eligible
     if sweep_mode is None:
         if sweep_kernel in (True, "interpret"):
             sweep_mode = "kernel"
@@ -624,9 +712,23 @@ def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
             if envk == "1":
                 sweep_mode = "kernel"
             else:
-                sweep_mode = os.environ.get("PTX_SWEEP_MODE", "fixpoint")
-    assert sweep_mode in ("fixpoint", "sort", "kernel"), sweep_mode
+                # production default: the fused megasweep kernel when the
+                # tape is pure untransformed sphere/plane leaves on TPU
+                # (one Pallas launch replaces the whole interval +
+                # fixpoint + payload pipeline — ptx.ops.megasweep);
+                # fixpoint otherwise
+                default = ("mega" if (jax.default_backend() == "tpu"
+                                      and mega_eligible(plan, leaves))
+                           else "fixpoint")
+                sweep_mode = os.environ.get("PTX_SWEEP_MODE", default)
+    if sweep_mode == "mega" and not mega_eligible(plan, leaves):
+        sweep_mode = "fixpoint"        # compound/transformed leaves
+    assert sweep_mode in ("fixpoint", "sort", "kernel", "mega"), sweep_mode
     kernel_interpret = sweep_kernel == "interpret"
+
+    if sweep_mode == "mega":
+        return _compile_mega_sweep(plan, leaves, params_ref,
+                                   interpret=kernel_interpret)
 
     # compile-time group table: leaf groups batch into one direct slice;
     # compound groups batch BY STRUCTURE CLASS — same op tree ⇒ identical

@@ -124,7 +124,10 @@ def compile_scene(root, fast: bool = True,
         from ptx.ops.fasthit_kernel import build_hit_kernel
         hit_fn = build_hit_kernel(plan)
     elif fast:
-        hit_fn = compile_fast_hit(plan)
+        # params_ref: initial parameter values, used only for compile-time
+        # spatial cluster ASSIGNMENT in the megasweep (bounds are always
+        # recomputed from live params — ptx.ops.megasweep)
+        hit_fn = compile_fast_hit(plan, params_ref=params)
     else:
         hit_fn = None
     hit_replay_fn = None

@@ -370,3 +370,130 @@ def test_union_sweep_kernel_tie_break_exact():
     _assert_hits_match(a, b)
     np.testing.assert_array_equal(np.asarray(a["_evt"]),
                                   np.asarray(b["_evt"]))
+
+
+def test_megasweep_matches_fixpoint_evt():
+    """The fused megasweep kernel (ptx.ops.megasweep — in-VMEM interval
+    construction + chain-exit fixpoint + payload match, cluster culling)
+    must agree EVENT-FOR-EVENT with the jnp fixpoint sweep on the
+    adversarial shapes: exactly-coincident boundaries (ties), a rod of
+    overlapping spheres with rays originating inside (multi-hop chains),
+    and the stress grid.  ONE interpret-mode kernel call per world
+    (interpret costs tens of seconds per call — CLAUDE.md)."""
+    from ptx.scenes.builders import union_array, sky_planes, stress_spheres
+    from ptx.geom.tape import Sphere, Plane
+    from ptx.shade.materials import Material
+
+    m1 = Material(reflect=(0.8, 0.3, 0.3), scatter=1.0)
+    m2 = Material(reflect=(0.3, 0.8, 0.3), scatter=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    worlds = [
+        union_array([
+            Sphere((0.0, 0.0, -3.0), 1.0, m1),
+            Sphere((0.0, 0.0, -3.0), 1.0, m2),   # identical — ties
+            Sphere((0.5, 0.0, -3.5), 1.0, m2),
+            Sphere((0.0, 0.0, -5.0), 1.0, m1),   # touching along the axis
+            *[Sphere((0.0, -0.5, -2.0 - 0.7 * i), 0.5, m1)
+              for i in range(12)],               # multi-hop chain rod
+            Plane((0.0, 1.0, 0.0), 1.0, m1),
+            *sky_planes(sky),
+        ]),
+        stress_spheres(41, seed=2),
+    ]
+    g = np.random.default_rng(13)
+    for world in worlds:
+        scene = compile_scene(world, pallas=False)
+        fix = compile_fast_hit(scene.plan, sweep=True,
+                               sweep_mode="fixpoint")
+        mega = compile_fast_hit(scene.plan, sweep=True, sweep_mode="mega",
+                                sweep_kernel="interpret",
+                                params_ref=scene.params)
+        o = np.concatenate([
+            np.zeros((128, 3)),
+            np.array([[0.0, -0.5, -4.0]] * 64),   # inside the rod
+            g.uniform(-3, 3, (192, 3)),
+        ]).astype(np.float32)
+        d = np.concatenate([
+            np.stack([g.uniform(-1, 1, 128), g.uniform(-1, 1, 128),
+                      np.full(128, -1.0)], -1),
+            np.array([[0.0, 0.0, -1.0]] * 32 + [[0.0, 0.0, 1.0]] * 32),
+            g.normal(size=(192, 3)),
+        ]).astype(np.float32)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        a = jax.jit(mega)(scene.params, o, d)
+        b = jax.jit(fix)(scene.params, o, d)
+        _assert_hits_match(a, b)
+        np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                      np.asarray(b["_evt"]))
+
+
+def test_megasweep_culling_and_gradients():
+    """Cluster culling must be invisible to results: coherent primary
+    rays aimed at one grid corner make whole clusters bound-miss for the
+    block (the cull path), and an uncullable wide mix re-checks the
+    all-active path.  Gradients flow through the selected-leaf replay:
+    d(sum t)/d(sphere params) nonzero and finite under the mega hit."""
+    from ptx.scenes.builders import stress_spheres
+
+    world = stress_spheres(41, seed=5)
+    scene = compile_scene(world, pallas=False)
+    fix = compile_fast_hit(scene.plan, sweep=True, sweep_mode="fixpoint")
+    mega = compile_fast_hit(scene.plan, sweep=True, sweep_mode="mega",
+                            sweep_kernel="interpret",
+                            params_ref=scene.params)
+    g = np.random.default_rng(23)
+    # coherent: all rays from above aimed into a small corner patch of
+    # the sphere grid — most clusters' bounds miss the whole block
+    tgt = np.stack([g.uniform(-3.5, -2.0, 256), np.full(256, -0.8),
+                    g.uniform(-4.0, -3.0, 256)], -1)
+    o = np.tile(np.array([[-3.0, 4.0, 1.0]], np.float32), (256, 1))
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = jax.jit(mega)(scene.params, o, d)
+    b = jax.jit(fix)(scene.params, o, d)
+    assert int(np.asarray(a["hit"]).sum()) > 100
+    _assert_hits_match(a, b)
+    np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                  np.asarray(b["_evt"]))
+
+    def loss(params):
+        h = mega(params, o, d)
+        return jnp.sum(jnp.where(h["hit"], h["t"], 0.0))
+
+    grads = jax.grad(loss)(scene.params)
+    gr = np.asarray(grads["sphere_radius"])
+    assert np.isfinite(gr).all() and np.abs(gr).max() > 0
+    gc = np.asarray(grads["sphere_center"])
+    assert np.isfinite(gc).all() and np.abs(gc).max() > 0
+
+
+def test_megasweep_gadgets_match_fixpoint_evt():
+    """Compound gadgets through the megasweep's interval-set slot algebra
+    (∩ = pairwise [max s, min e), ∪ = concat, − = ∩ complement slots)
+    must agree event-for-event with the fixpoint path's local membership
+    fold + rank pairing — including difference-B payloads and rays
+    starting inside gadgets.  ONE interpret kernel call per world."""
+    from ptx.scenes.builders import stress_gadgets
+
+    for n, seed in [(12, 0), (28, 4)]:
+        scene = compile_scene(stress_gadgets(n, seed=seed), pallas=False)
+        fix = compile_fast_hit(scene.plan, sweep=True,
+                               sweep_mode="fixpoint")
+        mega = compile_fast_hit(scene.plan, sweep=True, sweep_mode="mega",
+                                sweep_kernel="interpret",
+                                params_ref=scene.params)
+        g = np.random.default_rng(1)
+        B = 512
+        o = np.concatenate([np.zeros((128, 3)),
+                            g.uniform(-5, 5, (B - 128, 3))]).astype(
+                                np.float32)
+        o[:, 1] = np.clip(o[:, 1], -0.9, 4)
+        d = g.normal(size=(B, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        oj, dj = jnp.asarray(o), jnp.asarray(d)
+        a = jax.jit(mega)(scene.params, oj, dj)
+        b = jax.jit(fix)(scene.params, oj, dj)
+        _assert_hits_match(a, b)
+        np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                      np.asarray(b["_evt"]))
