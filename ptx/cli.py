@@ -223,16 +223,29 @@ def cmd_serve(args):
 
     def render_fn(x0, y0, w, h, spp, depth, seed):
         # render exactly the requested tile of the global camera — no
-        # full-width band + crop (each tile traces only its own pixels)
+        # full-width band + crop (each tile traces only its own pixels).
+        # --adaptive: the tile renders through the variance-guided
+        # sampler at the SAME budget — the reference's distributed
+        # rendering IS adaptive rendering (every farmed block runs the
+        # recursive subdivision server-side, test.cpp:503-504,708)
         t0 = time.perf_counter()
         k = jax.random.PRNGKey(seed & 0x7FFFFFFF)
-        img = _render_tile(scene, scene.params, cam, k, int(x0), int(y0),
-                           int(w), int(h), int(spp), int(depth))
+        if args.adaptive:
+            from ptx.integrate.adaptive import render_adaptive_tile
+            img = render_adaptive_tile(
+                scene, scene.params, cam, k, int(x0), int(y0), int(w),
+                int(h), int(spp), int(depth), rounds=args.adaptive_rounds,
+                frac=args.adaptive_frac)
+        else:
+            img = _render_tile(scene, scene.params, cam, k, int(x0),
+                               int(y0), int(w), int(h), int(spp),
+                               int(depth))
         out = np.asarray(img)
         # per-tile structured log — the reference's per-block server couts
         # (test.cpp:704,718), machine-readable
         log("tile_done", x0=int(x0), y0=int(y0), w=int(w), h=int(h),
-            spp=int(spp), seconds=round(time.perf_counter() - t0, 3))
+            spp=int(spp), adaptive=bool(args.adaptive),
+            seconds=round(time.perf_counter() - t0, 3))
         return out
 
     srv = RenderFarmServer(render_fn, port=args.port, bind=args.bind,
@@ -345,6 +358,14 @@ def main(argv=None):
     sp.add_argument("--chunk-rows", type=int, default=16,
                     help="stream tiles incrementally in row bands of this "
                          "many rows (0 = send each tile whole)")
+    sp.add_argument("--adaptive", action="store_true",
+                    help="render each farmed tile ADAPTIVELY at the "
+                         "requested budget (base pass at spp/2, the rest "
+                         "on the tile's highest-variance pixels) - the "
+                         "reference's farmed blocks ARE adaptive blocks "
+                         "(test.cpp:503-504,708)")
+    sp.add_argument("--adaptive-rounds", type=int, default=2)
+    sp.add_argument("--adaptive-frac", type=float, default=0.25)
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("farm", help="farm tiles to servers")

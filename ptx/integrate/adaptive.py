@@ -175,3 +175,77 @@ def render_adaptive(scene: CompiledScene, cam: Camera, key,
             on_round(s1, s2, count, r + 1)
     return (s1 / count[..., None], count,
             (s1, s2, count, rounds))
+
+
+# --------------------------------------------------------------------------
+# farm-tile adaptive rendering (VERDICT r3 #6)
+# --------------------------------------------------------------------------
+# In the reference, distributed rendering IS adaptive rendering: the farm
+# server constructs a RenderBlock for every requested block and its run()
+# is the recursive corner-similarity subdivision
+# (/root/reference/src/test.cpp:503-504,708).  The ptx farm server mirrors
+# that by running the variance-guided sampler PER TILE at the client's
+# requested budget: base pass at half the budget, the rest concentrated on
+# the highest-variance pixels of the tile.
+
+
+@partial(jax.jit, static_argnames=("scene", "cam", "rows", "cols", "spp",
+                                   "depth"))
+def _base_tile(scene, params, cam: Camera, key, x0, y0, cols: int,
+               rows: int, spp: int, depth: int):
+    ys = (y0 + jnp.arange(rows)).astype(jnp.float32)
+    xs = (x0 + jnp.arange(cols)).astype(jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    shape = (spp, rows, cols)
+    jitter = rng.sample_square(key, shape)
+    o, d = pixel_rays(cam, jnp.broadcast_to(px, shape),
+                      jnp.broadcast_to(py, shape), jitter)
+    radiance = trace_rays(scene, params, o, d, key, depth)
+    return jnp.sum(radiance, axis=0), jnp.sum(radiance ** 2, axis=0)
+
+
+@partial(jax.jit, static_argnames=("scene", "cam", "cols", "spp", "depth",
+                                   "k"))
+def _refine_tile(scene, params, cam: Camera, key, x0, y0, cols: int,
+                 s1, s2, count, spp: int, depth: int, k: int):
+    mean = s1 / count[..., None]
+    var = jnp.maximum(s2 / count[..., None] - mean ** 2, 0.0)
+    priority = jnp.sum(var, axis=-1) / count
+    _, flat_idx = jax.lax.top_k(priority.reshape(-1), k)
+    py = (y0 + flat_idx // cols).astype(jnp.float32)
+    px = (x0 + flat_idx % cols).astype(jnp.float32)
+    shape = (spp,) + flat_idx.shape
+    jitter = rng.sample_square(key, shape)
+    o, d = pixel_rays(cam, jnp.broadcast_to(px, shape),
+                      jnp.broadcast_to(py, shape), jitter)
+    radiance = trace_rays(scene, params, o, d, key, depth)   # (spp, k, 3)
+    s1 = s1.reshape(-1, 3).at[flat_idx].add(
+        jnp.sum(radiance, axis=0)).reshape(s1.shape)
+    s2 = s2.reshape(-1, 3).at[flat_idx].add(
+        jnp.sum(radiance ** 2, axis=0)).reshape(s2.shape)
+    count = count.reshape(-1).at[flat_idx].add(spp).reshape(count.shape)
+    return s1, s2, count
+
+
+def render_adaptive_tile(scene: CompiledScene, params, cam: Camera, key,
+                         x0, y0, cols: int, rows: int, spp: int,
+                         depth: int, rounds: int = 2, frac: float = 0.25):
+    """Adaptive render of one farm tile at the SAME total sample budget a
+    dense render of the tile at ``spp`` would use: base pass at
+    ``spp // 2``, remainder concentrated on the top-``frac`` variance
+    pixels over ``rounds`` rounds.  Returns the (rows, cols, 3) mean
+    image — a drop-in for render._render_tile in the farm server."""
+    spp_base = max(1, spp // 2)
+    remaining = max(0, spp - spp_base)
+    k = max(1, int(rows * cols * frac))
+    spp_refine = max(1, int(round(remaining * rows * cols /
+                                  max(1, rounds * k))))
+    s1, s2 = _base_tile(scene, params, cam, key, x0, y0, cols, rows,
+                        spp_base, depth)
+    count = jnp.full((rows, cols), spp_base, jnp.float32)
+    for r in range(rounds if remaining else 0):
+        s1, s2, count = _refine_tile(scene, params, cam,
+                                     rng.fold(key, 2000 + r), x0, y0,
+                                     cols, s1, s2, count, spp_refine,
+                                     depth, k)
+    return s1 / count[..., None]

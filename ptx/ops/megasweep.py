@@ -794,12 +794,10 @@ def _bound_leaf_list(bexpr):
 
 
 def _class_solid_flags(cm, params, block_hits, ck):
-    """(n_cl, nb) solid-bound flags for one compound class."""
-    if cm["bound_leaves"] is None:
-        # unbounded root solid: always active
-        import jax.numpy as jnp
-        nb = block_hits.__closure__  # unused; computed by caller instead
-        raise AssertionError("unreachable — handled by caller")
+    """(n_cl, nb) solid-bound flags for one compound class; unbounded
+    classes (bound_leaves None) are handled by the caller (always
+    active)."""
+    assert cm["bound_leaves"] is not None
     G, Gp = cm["G"], cm["Gp"]
     idx = cm["bidx"]                                   # (G, nbl)
     c = params["sphere_center"][idx.reshape(-1)].reshape(G, -1, 3)
