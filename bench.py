@@ -168,15 +168,59 @@ def bench_tpu(width=512, height=512, spp=64, depth=16, spp_chunk=1,
                      for r in range(3))
     dt_grad, dt_fwd = dts_grad[1], dts_fwd[1]
 
-    fwd_bwd_rps = rays_per_chunk * chunks_timed / dt_grad
+    chained_fwd_bwd_rps = rays_per_chunk * chunks_timed / dt_grad
     fwd_rps = rays_per_chunk * chunks_fwd / dt_fwd
-    log("bench_measured",
-        fwd_bwd_mrps=round(fwd_bwd_rps / 1e6, 2),
+    log("bench_measured_chained",
+        fwd_bwd_mrps=round(chained_fwd_bwd_rps / 1e6, 2),
         fwd_mrps=round(fwd_rps / 1e6, 2),
         fwd_bwd_spread_mrps=[round(rays_per_chunk * chunks_timed / d / 1e6,
                                    1) for d in dts_grad],
         chunks=chunks_timed, rays_per_chunk=rays_per_chunk,
         timed_seconds=round(dt_grad, 2))
+
+    # ---- benchmark of record: ONE-DISPATCH fwd+bwd wall -----------------
+    # The whole gradient-accumulation loop (every chunk's value_and_grad,
+    # summed grads — exactly a training accumulation step) runs as a
+    # device-side fori_loop in ONE dispatch ending in a bytes fetch.
+    # Rationale (round 4): the chained construct is exposed to HOST
+    # dispatch latency — the same round-3 code that recorded 408.9
+    # measured 245.8 chained in a round-4 session while its one-dispatch
+    # frame wall stayed at 471 vs 479 recorded; production renders/
+    # training put the loop on device anyway (CLAUDE.md), so the chained
+    # number understates the machine by whatever the tunnel does that
+    # day.  The chained region stays as a cross-check + lower bound.
+    n_wall = max(8, min(2048, chunks_timed))
+
+    @jax.jit
+    def grad_wall(params, key):
+        def body(i, carry):
+            acc, g = carry
+            y0 = (jnp.int32(i) % n_bands) * rows
+            v, gi = jax.value_and_grad(chunk_loss)(
+                params, key, y0, jnp.int32(i), acc)
+            return v, jax.tree.map(jnp.add, g, gi)
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        return jax.lax.fori_loop(0, n_wall, body, (jnp.float32(0.0), g0))
+
+    acc, grads = grad_wall(scene.params, key)        # compile + warm
+    assert np.isfinite(float(acc))
+    dts_wall = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc, grads = grad_wall(scene.params, key)
+        val = float(acc)                             # bytes fetch barrier
+        dts_wall.append(time.perf_counter() - t0)
+        assert np.isfinite(val)
+    dt_wall = sorted(dts_wall)[1]
+    fwd_bwd_rps = rays_per_chunk * n_wall / dt_wall
+    log("bench_measured",
+        fwd_bwd_mrps=round(fwd_bwd_rps / 1e6, 2),
+        construct="one_dispatch_grad_wall", chunks=n_wall,
+        spread_mrps=[round(rays_per_chunk * n_wall / d / 1e6, 1)
+                     for d in sorted(dts_wall)],
+        chained_fwd_bwd_mrps=round(chained_fwd_bwd_rps / 1e6, 2),
+        timed_seconds=round(dt_wall, 2))
 
     if frame_check:
         wall = frame_wall_check(scene, cam, key, spp, depth, rows,

@@ -46,15 +46,23 @@ Three evaluation strategies share the same semantics:
   blocks (peak memory O(block·L·B)) carrying a running argmin, then
   recompute the winner's normal with the O(1) selected-leaf replay
   (ptx.geom.hitreplay).  Memory O(L·B), no unrolled-code growth;
-- **union sweep** (large L, union-only tapes — the ``unionArray``
-  big-scene shape, /root/reference/src/test.cpp:52-64): for a pure union
-  the membership fold degenerates to interval coverage.  The production
+- **union sweep** (large L, union-decomposable tapes — the ``unionArray``
+  big-scene shape, /root/reference/src/test.cpp:52-64): for a union of
+  groups the membership fold degenerates to interval coverage.  The
   ``fixpoint`` mode finds the first boundary *sort-free*: ``min start``
   for rays outside the coverage at EPS, else the merged-chain exit via a
   fixed-point ``E ← max{e : s ≤ E}`` (2-4 masked-max passes on real
   scenes) — O(L·hops) work vs the O(L log L) sorted sweep it replaced
   (kept as the ``sort``/``kernel`` modes) and the O(L²) fold both other
-  paths pay.  See :func:`_compile_union_sweep`.
+  paths pay.  See :func:`_compile_union_sweep`.  On TPU the production
+  mode is ``mega`` (ptx.ops.megasweep, round 4): ONE Pallas launch runs
+  interval construction + the same fixpoint + payload match + the
+  replay forward entirely in VMEM, with Morton-cluster bound culling and
+  interval-set slot algebra for compound gadgets — 4-16× the fixpoint
+  mode at L≈256 (45/39 Mrays/s fwd spheres/gadget-268 vs 11/2.5);
+  gradients route through the decision-frozen :func:`_mega_replay`
+  custom VJP.  Untransformed sphere/plane leaves only; others keep
+  ``fixpoint``.
 """
 
 from __future__ import annotations

@@ -116,10 +116,26 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
         return val
 
     def eval_fn(params, pos, mat_id):
-        out = {s: _slot_val(params, pos, mat_id, s) for s in SLOTS}
+        # ONE packed per-material row gather instead of six: TPU per-lane
+        # gathers cost per ROW, not per byte (~0.5 ms each at B=65k —
+        # the round-4 large-scene profile showed the separate slot/ior
+        # lookups as the dominant post-megasweep cost), so the 5 slots +
+        # ior pre-pack into a (M, 16) table with a STATIC (M,)-row
+        # gather per slot and the wavefront pays a single row lookup.
+        packed = jnp.concatenate(
+            [params["const"][const_idx[s]] for s in SLOTS]
+            + [params["ior"][:, None]], axis=1)          # (M, 16)
+        row = table_lookup(packed, mat_id)               # (..., 16)
+        out = {}
+        for i, s in enumerate(SLOTS):
+            val = row[..., 3 * i:3 * i + 3]
+            for mi, fn in dynamic[s]:
+                dyn = fn(params, pos)
+                val = jnp.where((mat_id == mi)[..., None], dyn, val)
+            out[s] = val
         out["scatter_f"] = jnp.mean(out["scatter"], axis=-1)
         out["transmit_reflect_f"] = jnp.mean(out["transmit_reflect"], axis=-1)
-        out["ior"] = table_lookup(params["ior"], mat_id)
+        out["ior"] = row[..., 15]
         return out
 
     def eval_emissive(params, pos, mat_id):
