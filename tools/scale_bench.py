@@ -92,9 +92,13 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
     groups = union_decompose(scene.plan)
     gmax = max((1 if isinstance(g, _tape._LeafPlan)
                 else len(collect_leaves(g))) for g in groups)
+    from ptx.ops.megasweep import mega_eligible
+    sweepable = (L > _SWEEP_L_MIN and len(groups) > 1
+                 and gmax <= _SWEEP_GROUP_MAX)
     auto = ("kernel" if L <= 24 else
-            "sweep" if (L > _SWEEP_L_MIN and len(groups) > 1
-                        and gmax <= _SWEEP_GROUP_MAX) else
+            ("mega" if mega_eligible(scene.plan,
+                                     collect_leaves(scene.plan))
+             else "sweep") if sweepable else
             "dense" if L <= 64 else "blocked")
     return {"kind": kind, "units": n_spheres, "L": L,
             "strategy": "blocked" if force_blocked else auto,
