@@ -120,9 +120,39 @@ def run_golden():
     log("tpu_golden_render", mean=float(arr.mean()),
         digest=digest, shape=list(arr.shape))
     assert np.isfinite(arr).all(), "render digest frame has non-finite pixels"
+
+    # --- 3. megasweep-vs-fixpoint agreement (large-scene production) ----
+    # The megasweep kernel is the production first hit for big scenes and
+    # its CPU tests run interpret-mode only — a Mosaic lowering bug would
+    # pass the whole suite.  Gate: flipped-lane fraction on hardware
+    # bounded at the diagnosed boundary-rounding level
+    # (tools/mega_check.py round 4: 0.11% grazing/corner flips).
+    from ptx.geom.fasthit import compile_fast_hit
+    from ptx.scenes.builders import stress_spheres
+    scene_s = tr.compile_scene(stress_spheres(57))
+    fixh = compile_fast_hit(scene_s.plan, sweep=True, sweep_mode="fixpoint")
+    megah = compile_fast_hit(scene_s.plan, sweep=True, sweep_mode="mega",
+                             params_ref=scene_s.params)
+    g = np.random.default_rng(7)
+    Bm = 8192
+    om = jnp.asarray(np.stack([g.uniform(-8, 8, Bm),
+                               g.uniform(-1.2, 4, Bm),
+                               g.uniform(-8, 8, Bm)], -1), jnp.float32)
+    dm = g.normal(size=(Bm, 3)).astype(np.float32)
+    dm = jnp.asarray(dm / np.linalg.norm(dm, axis=1, keepdims=True))
+    hf = jax.jit(lambda p: fixh(p, om, dm))(scene_s.params)
+    hm = jax.jit(lambda p: megah(p, om, dm))(scene_s.params)
+    mega_flip = max(float((np.asarray(hf[k]) != np.asarray(hm[k])).mean())
+                    for k in ("hit", "entering", "_evt", "mat_id"))
+    assert np.isfinite(np.asarray(hm["t"])).all()
+    assert np.isfinite(np.asarray(hm["normal"])).all()
+    log("tpu_golden_megasweep", flip_frac=round(mega_flip, 5))
+    assert mega_flip < 3e-3, f"megasweep flip fraction {mega_flip}"
+
     return {"depth0_rel_err": float(err0),
             "depth8_divergent_frac": frac,
             "render_digest": digest,
+            "megasweep_flip_frac": round(mega_flip, 5),
             "render_mean": round(float(arr.mean()), 6)}
 
 
