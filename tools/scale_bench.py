@@ -37,28 +37,31 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
     o, d = sample_rays(cam, key, jnp.arange(128), jnp.arange(512), 1)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
 
+    # ONE-DISPATCH device-side loop (bench.py round-4 lesson: chained
+    # host dispatches track tunnel latency — the same trace measured
+    # 45 chained vs ~78 device Mrays/s at L=256 in a degraded session)
+    iters = 20
+
     @jax.jit
-    def step(o):
-        r = trace_rays(scene, scene.params, o, d, key, depth)
-        return o + 1e-12 * r.sum(-1, keepdims=True)
+    def wall(o):
+        def body(i, o):
+            r = trace_rays(scene, scene.params, o, d, key, depth)
+            return o + 1e-12 * r.sum(-1, keepdims=True)
+        return jax.lax.fori_loop(0, iters, body, o)
 
     import numpy as np
     fetch = lambda a: np.asarray(a[:1, :1])   # bytes = the only real
-    x = step(o)                               # completion barrier here
+    x = wall(o)                               # completion barrier here
     fetch(x)
     compile_s = time.perf_counter() - t0
 
-    # two-point slope: the first timed region after compile is
-    # contaminated on this backend (see tools/roofline.py)
+    dts = []
     for _ in range(3):
-        x = step(x)
-    fetch(x)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    fetch(x)
-    dt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        x = wall(x)
+        fetch(x)
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1] / iters
     B = o.shape[0]
 
     # fwd+bwd — the headline metric had never been measured at scale
@@ -69,23 +72,30 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
             r = trace_rays(scene, p, o, d, key, depth)
             return jnp.mean(r)
 
+        giters = 12
+
         @jax.jit
-        def gstep(o, acc):
-            v, g = jax.value_and_grad(loss)(scene.params, o)
-            return o + 1e-12 * v, acc + v
+        def gwall(o, acc):
+            def body(i, c):
+                o, acc = c
+                v, g = jax.value_and_grad(loss)(scene.params, o)
+                # keep the backward ALIVE: an unused grad pytree is
+                # dead-code-eliminated wholesale (the whole VJP folds
+                # away and fwd+bwd silently measures as fwd)
+                gs = sum(jnp.sum(l) for l in jax.tree.leaves(g))
+                return o + 1e-12 * v, acc + v + 1e-30 * gs
+            return jax.lax.fori_loop(0, giters, body, (o, acc))
 
         acc = jnp.float32(0.0)
-        x, acc = gstep(o, acc)
-        fetch(x); float(acc)
-        for _ in range(3):
-            x, acc = gstep(x, acc)
-        float(acc)
-        giters = 12
-        t0g = time.perf_counter()
-        for _ in range(giters):
-            x, acc = gstep(x, acc)
+        x, acc = gwall(o, acc)
         assert np.isfinite(float(acc))
-        dt_g = (time.perf_counter() - t0g) / giters
+        dtg = []
+        for _ in range(3):
+            t0g = time.perf_counter()
+            x, acc = gwall(x, acc)
+            assert np.isfinite(float(acc))
+            dtg.append(time.perf_counter() - t0g)
+        dt_g = sorted(dtg)[1] / giters
     from ptx.geom import tape as _tape
     from ptx.geom.fasthit import (union_decompose, _SWEEP_GROUP_MAX,
                                   _SWEEP_L_MIN)
