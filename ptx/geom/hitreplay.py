@@ -109,15 +109,24 @@ def build_hit_replay(leaves, parity_np=None):
     is_sphere_np = np.array([lf.kind == "sphere" for lf, _ in leaves])
     if parity_np is None:
         parity_np = np.array([p for _, p in leaves], np.float32)
+    # constant per-leaf aux columns appended to the packed rows so the
+    # whole replay rides ONE per-lane gather: TPU gathers cost per ROW
+    # regardless of width (~9-40 ns/row), so the 1-wide is_sphere and
+    # parity gathers each cost as much as the whole (B, 26) row gather —
+    # they were 2 of the 6.5 ms/step the backward recompute spent in
+    # gathers at L=256 (tools/mega_prof.py, round 4)
+    aux_np = np.stack([is_sphere_np.astype(np.float32),
+                       parity_np.astype(np.float32)], axis=1)    # (L, 2)
 
     def recompute_flat(params, ox, oy, oz, dx, dy, dz, best_i):
         from ptx.ops.tableops import table_lookup
-        rows = leaf_rows(leaves, params)
+        rows = jnp.concatenate(
+            [leaf_rows(leaves, params), jnp.asarray(aux_np)], axis=1)
         leaf_idx = jnp.where(best_i >= L, best_i - L, best_i)
         is_start = best_i < L
-        # (B, 26) gather with MXU-matmul transpose (see ptx.ops.tableops)
+        # (B, 28) gather with MXU-matmul transpose (see ptx.ops.tableops)
         row = table_lookup(rows, leaf_idx)
-        sph = jnp.asarray(is_sphere_np)[leaf_idx]
+        sph = row[:, 26] > 0.5
 
         w = row[:, 5:17]
         nrm = row[:, 17:26]
@@ -169,16 +178,16 @@ def build_hit_replay(leaves, parity_np=None):
         wz = nrm[:, 6] * nx0 + nrm[:, 7] * ny0 + nrm[:, 8] * nz0
         mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
         inv = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
-        return t_sel, wx * inv, wy * inv, wz * inv
+        # parity rides the same packed row (column 27) — no second gather
+        return t_sel, wx * inv, wy * inv, wz * inv, row[:, 27]
 
     def replay(params, origin, direction, evt, entering, hit):
         shape = origin.shape[:-1]
         ox, oy, oz = (origin[..., i].reshape(-1) for i in range(3))
         dx, dy, dz = (direction[..., i].reshape(-1) for i in range(3))
         evt_f = evt.reshape(-1)
-        t, nx, ny, nz = recompute_flat(params, ox, oy, oz, dx, dy, dz, evt_f)
-        leaf_idx = jnp.where(evt_f >= L, evt_f - L, evt_f)
-        par = jnp.asarray(parity_np)[leaf_idx]
+        t, nx, ny, nz, par = recompute_flat(params, ox, oy, oz, dx, dy, dz,
+                                            evt_f)
         sign = par * jnp.where(entering.reshape(-1), 1.0, -1.0)
         hmask = hit.reshape(-1)
         t = jnp.where(hmask, t, 0.0).reshape(shape)
