@@ -119,13 +119,16 @@ def build_hit_replay(leaves, parity_np=None):
                        parity_np.astype(np.float32)], axis=1)    # (L, 2)
 
     def recompute_flat(params, ox, oy, oz, dx, dy, dz, best_i):
-        from ptx.ops.tableops import table_lookup
-        rows = jnp.concatenate(
-            [leaf_rows(leaves, params), jnp.asarray(aux_np)], axis=1)
+        from ptx.ops.tableops import table_lookup_aug
         leaf_idx = jnp.where(best_i >= L, best_i - L, best_i)
         is_start = best_i < L
-        # (B, 28) gather with MXU-matmul transpose (see ptx.ops.tableops)
-        row = table_lookup(rows, leaf_idx)
+        # ONE (B, 28) fetch with MXU-matmul transpose.  The one-hot
+        # MXU forward (onehot_fwd=True) measured NEUTRAL at L=256/268
+        # (33.6 vs 32.9 / 30.2 vs 30.6 Mrays/s fwd+bwd wall) once the
+        # row was packed — the single gather is no longer the backward
+        # bottleneck; left available in tableops for bigger tables
+        row = table_lookup_aug(leaf_rows(leaves, params),
+                               jnp.asarray(aux_np), leaf_idx)
         sph = row[:, 26] > 0.5
 
         w = row[:, 5:17]

@@ -156,6 +156,22 @@ def compile_scene(root, fast: bool = True,
         meta = (material_fn.const_idx, material_fn.n_materials)
         bounce_fn = build_bounce_kernel(plan, meta, mats_np)
         bounce_bwd_fn = build_bounce_bwd_kernel(plan, meta, mats_np)
+    elif (want_fused and fast and pallas and hit_fn is not None
+          and os.environ.get("PTX_RBWD") != "0"
+          and not any(material_fn.dynamic_slots[s]
+                      for s in ("reflect", "scatter", "transmit",
+                                "transmit_reflect"))):
+        # Large scenes (L > kernel_max): the replay backward still rides
+        # a Pallas kernel, but ROW-FED — the winner's packed parameter
+        # row is gathered in XLA and the per-lane replay VJP runs
+        # in-kernel, L-independent (ptx.ops.replay_bwd).  Same const-
+        # material eligibility as the fused bounce; PTX_RBWD=0 disables.
+        from ptx.ops.replay_bwd import build_replay_bwd
+        from ptx.geom.fasthit import collect_leaves
+        lv = collect_leaves(plan)
+        bounce_bwd_fn = build_replay_bwd(
+            lv, (material_fn.const_idx, material_fn.n_materials),
+            [lf.mat_id for lf, _ in lv])
 
     # fused emission kernel (trig + MXU one-hot VMEM image gather + const
     # select in one launch): eligible when the scene has exactly one

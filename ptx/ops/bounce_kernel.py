@@ -404,6 +404,136 @@ _BMAT_STRIDE = 8
 _ROW = 26
 
 
+def replay_lane_math(row, sph, par, ms, o, d, thr, *, is_start, hit,
+                     entering, take_transmit, scatter_alive, u_sel):
+    """Per-lane decision-frozen replay (selected-boundary recompute +
+    differentiable bounce math) — the single source of the replay
+    formulas inside Pallas backward kernels, shared by
+    :func:`build_bounce_bwd_kernel` (L ≤ 24, SMEM-unrolled row selects)
+    and ptx.ops.replay_bwd (row-fed, any leaf count).  Mirrors
+    ptx.geom.hitreplay.recompute_flat + trace._bounce_replay's
+    differentiable parts exactly (the frozen strength/p_transmit chain
+    is omitted — it is stop-gradient by construction).
+
+    ``row``: 26-indexable of per-lane leaf-row scalars (hitreplay
+    layout); ``ms``: 8-indexable material scalars [reflect₃, scatter_f,
+    transmit₃, ior]; ``o``/``d``/``thr``: 3-tuples; flags/u_sel are
+    per-lane arrays from the frozen decisions."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    thx, thy, thz = thr
+    rfl = (ms[0], ms[1], ms[2])
+    scatter_f = ms[3]
+    tmt = (ms[4], ms[5], ms[6])
+    ior = ms[7]
+
+    # --- selected-boundary recompute (hitreplay.recompute_flat) ---
+    w = row[5:17]
+    nrm = row[17:26]
+    lox = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
+    loy = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
+    loz = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
+    ldx = w[0] * dx + w[1] * dy + w[2] * dz
+    ldy = w[4] * dx + w[5] * dy + w[6] * dz
+    ldz = w[8] * dx + w[9] * dy + w[10] * dz
+
+    ocx, ocy, ocz = lox - row[0], loy - row[1], loz - row[2]
+    r = row[3]
+    a = ldx * ldx + ldy * ldy + ldz * ldz
+    b = ocx * ldx + ocy * ldy + ocz * ldz
+    cc2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc_raw = b * b - a * cc2
+    disc = jnp.where(disc_raw > 1e-12, disc_raw, 1.0)
+    sq = jnp.sqrt(disc)
+    sa = jnp.where(a == 0.0, 1.0, a)
+    t_s = jnp.where(is_start, (-b - sq) / sa, (-b + sq) / sa)
+    inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+    snx = (ocx + t_s * ldx) * inv_r
+    sny = (ocy + t_s * ldy) * inv_r
+    snz = (ocz + t_s * ldz) * inv_r
+
+    pn0, pn1, pn2, pd, pim = row[0], row[1], row[2], row[3], row[4]
+    divisor = ldx * pn0 + ldy * pn1 + ldz * pn2
+    numer = -pd - (lox * pn0 + loy * pn1 + loz * pn2)
+    safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0, divisor)
+    t_p = numer / safe_div
+    pnx, pny, pnz = pn0 * pim, pn1 * pim, pn2 * pim
+
+    t_sel = jnp.where(sph, t_s, t_p)
+    nx0 = jnp.where(sph, snx, pnx)
+    ny0 = jnp.where(sph, sny, pny)
+    nz0 = jnp.where(sph, snz, pnz)
+    sentinel = jnp.abs(t_sel) >= MAX_VALUE
+    t_sel = jnp.where(sentinel, jax.lax.stop_gradient(t_sel), t_sel)
+
+    wx = nrm[0] * nx0 + nrm[1] * ny0 + nrm[2] * nz0
+    wy = nrm[3] * nx0 + nrm[4] * ny0 + nrm[5] * nz0
+    wz = nrm[6] * nx0 + nrm[7] * ny0 + nrm[8] * nz0
+    mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    inv = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
+    sign = par * jnp.where(entering, 1.0, -1.0)
+    t = jnp.where(hit, t_sel, 0.0)
+    nx = jnp.where(hit, wx * inv * sign, 0.0)
+    ny = jnp.where(hit, wy * inv * sign, 0.0)
+    nz = jnp.where(hit, wz * inv * sign, 1.0)   # unit placeholder
+
+    # --- replay bounce math (trace._bounce_replay, diff parts) ---
+    pos_x, pos_y, pos_z = ox + t * dx, oy + t * dy, oz + t * dz
+    rel_ior = jnp.where(entering, 1.0 / ior, ior)
+
+    nux, nuy, nuz = _normalize3(nx, ny, nz)
+    ix, iy, iz = _normalize3(dx, dy, dz)
+    idn = _dot3(ix, iy, iz, nux, nuy, nuz)
+    arg = 1.0 - rel_ior * rel_ior * (1.0 - idn * idn)
+    n_m2 = _dot3(nx, ny, nz, nx, ny, nz)
+    d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
+    rd_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
+             & (n_m2 > 0.0) & (d_m2 > 0.0) & (arg >= 0.0))
+    kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
+    rdx0 = rel_ior * ix - kk * nux
+    rdy0 = rel_ior * iy - kk * nuy
+    rdz0 = rel_ior * iz - kk * nuz
+    rdx, rdy, rdz = _normalize3(rdx0, rdy0, rdz0)
+    rdx = jnp.where(rd_ok, rdx, 0.0)
+    rdy = jnp.where(rd_ok, rdy, 0.0)
+    rdz = jnp.where(rd_ok, rdz, 0.0)
+
+    two_idn = 2.0 * _dot3(dx, dy, dz, nux, nuy, nuz)
+    refx = dx - two_idn * nux
+    refy = dy - two_idn * nuy
+    refz = dz - two_idn * nuz
+    sc = jnp.clip(scatter_f, 0.0, 1.0)
+    specular = sc <= EPS
+    safe_sc = jnp.where(specular, 1.0, sc)
+    bias_s = 1.0 / safe_sc - 1.0
+    sdx, sdy, sdz = _normalize3(u_sel[0] + bias_s * refx,
+                                u_sel[1] + bias_s * refy,
+                                u_sel[2] + bias_s * refz)
+    scx = jnp.where(specular, refx, sdx)
+    scy = jnp.where(specular, refy, sdy)
+    scz = jnp.where(specular, refz, sdz)
+    factor = 1.0 - (1.0 - _dot3(scx, scy, scz, nx, ny, nz)) * sc
+
+    new_alive = take_transmit | scatter_alive
+    ndx = jnp.where(take_transmit, rdx, scx)
+    ndy = jnp.where(take_transmit, rdy, scy)
+    ndz = jnp.where(take_transmit, rdz, scz)
+    bt0 = jnp.where(take_transmit, tmt[0], factor * rfl[0])
+    bt1 = jnp.where(take_transmit, tmt[1], factor * rfl[1])
+    bt2 = jnp.where(take_transmit, tmt[2], factor * rfl[2])
+
+    o2x = jnp.where(new_alive, pos_x, ox)
+    o2y = jnp.where(new_alive, pos_y, oy)
+    o2z = jnp.where(new_alive, pos_z, oz)
+    d2x = jnp.where(new_alive, ndx, dx)
+    d2y = jnp.where(new_alive, ndy, dy)
+    d2z = jnp.where(new_alive, ndz, dz)
+    t2x = jnp.where(new_alive, thx * bt0, thx)
+    t2y = jnp.where(new_alive, thy * bt1, thy)
+    t2z = jnp.where(new_alive, thz * bt2, thz)
+    return o2x, o2y, o2z, d2x, d2y, d2z, t2x, t2y, t2z
+
+
 def build_bounce_bwd_kernel(plan, material_meta, mats_np):
     """Returns ``bwd_fn(params, o, d, thr, dec, ct_o2, ct_d2, ct_thr2)``
     → ``(d_o, d_d, d_thr, d_params_geo_mat)`` for the decision-frozen
@@ -494,117 +624,11 @@ def build_bounce_bwd_kernel(plan, material_meta, mats_np):
                 on = leaf_idx == jnp.float32(k)
                 sph = sph | (on & bool(is_sphere_np[k]))
                 par = jnp.where(on, jnp.float32(parity_np[k]), par)
-
-            rfl = (ms[0], ms[1], ms[2])
-            scatter_f = ms[3]
-            tmt = (ms[4], ms[5], ms[6])
-            ior = ms[7]
-
-            # --- selected-boundary recompute (hitreplay.recompute_flat) ---
-            w = row[5:17]
-            nrm = row[17:26]
-            lox = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
-            loy = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
-            loz = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
-            ldx = w[0] * dx + w[1] * dy + w[2] * dz
-            ldy = w[4] * dx + w[5] * dy + w[6] * dz
-            ldz = w[8] * dx + w[9] * dy + w[10] * dz
-
-            ocx, ocy, ocz = lox - row[0], loy - row[1], loz - row[2]
-            r = row[3]
-            a = ldx * ldx + ldy * ldy + ldz * ldz
-            b = ocx * ldx + ocy * ldy + ocz * ldz
-            cc2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc_raw = b * b - a * cc2
-            disc = jnp.where(disc_raw > 1e-12, disc_raw, 1.0)
-            sq = jnp.sqrt(disc)
-            sa = jnp.where(a == 0.0, 1.0, a)
-            t_s = jnp.where(is_start, (-b - sq) / sa, (-b + sq) / sa)
-            inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
-            snx = (ocx + t_s * ldx) * inv_r
-            sny = (ocy + t_s * ldy) * inv_r
-            snz = (ocz + t_s * ldz) * inv_r
-
-            pn0, pn1, pn2, pd, pim = row[0], row[1], row[2], row[3], row[4]
-            divisor = ldx * pn0 + ldy * pn1 + ldz * pn2
-            numer = -pd - (lox * pn0 + loy * pn1 + loz * pn2)
-            safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0, divisor)
-            t_p = numer / safe_div
-            pnx, pny, pnz = pn0 * pim, pn1 * pim, pn2 * pim
-
-            t_sel = jnp.where(sph, t_s, t_p)
-            nx0 = jnp.where(sph, snx, pnx)
-            ny0 = jnp.where(sph, sny, pny)
-            nz0 = jnp.where(sph, snz, pnz)
-            sentinel = jnp.abs(t_sel) >= MAX_VALUE
-            t_sel = jnp.where(sentinel, jax.lax.stop_gradient(t_sel), t_sel)
-
-            wx = nrm[0] * nx0 + nrm[1] * ny0 + nrm[2] * nz0
-            wy = nrm[3] * nx0 + nrm[4] * ny0 + nrm[5] * nz0
-            wz = nrm[6] * nx0 + nrm[7] * ny0 + nrm[8] * nz0
-            mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
-            inv = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
-            sign = par * jnp.where(entering, 1.0, -1.0)
-            t = jnp.where(hit, t_sel, 0.0)
-            nx = jnp.where(hit, wx * inv * sign, 0.0)
-            ny = jnp.where(hit, wy * inv * sign, 0.0)
-            nz = jnp.where(hit, wz * inv * sign, 1.0)   # unit placeholder
-
-            # --- replay bounce math (trace._bounce_replay, diff parts) ---
-            pos_x, pos_y, pos_z = ox + t * dx, oy + t * dy, oz + t * dz
-            rel_ior = jnp.where(entering, 1.0 / ior, ior)
-
-            nux, nuy, nuz = _normalize3(nx, ny, nz)
-            ix, iy, iz = _normalize3(dx, dy, dz)
-            idn = _dot3(ix, iy, iz, nux, nuy, nuz)
-            arg = 1.0 - rel_ior * rel_ior * (1.0 - idn * idn)
-            n_m2 = _dot3(nx, ny, nz, nx, ny, nz)
-            d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
-            rd_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
-                     & (n_m2 > 0.0) & (d_m2 > 0.0) & (arg >= 0.0))
-            kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
-            rdx0 = rel_ior * ix - kk * nux
-            rdy0 = rel_ior * iy - kk * nuy
-            rdz0 = rel_ior * iz - kk * nuz
-            rdx, rdy, rdz = _normalize3(rdx0, rdy0, rdz0)
-            rdx = jnp.where(rd_ok, rdx, 0.0)
-            rdy = jnp.where(rd_ok, rdy, 0.0)
-            rdz = jnp.where(rd_ok, rdz, 0.0)
-
-            two_idn = 2.0 * _dot3(dx, dy, dz, nux, nuy, nuz)
-            refx = dx - two_idn * nux
-            refy = dy - two_idn * nuy
-            refz = dz - two_idn * nuz
-            sc = jnp.clip(scatter_f, 0.0, 1.0)
-            specular = sc <= EPS
-            safe_sc = jnp.where(specular, 1.0, sc)
-            bias_s = 1.0 / safe_sc - 1.0
-            sdx, sdy, sdz = _normalize3(u_sel[0] + bias_s * refx,
-                                        u_sel[1] + bias_s * refy,
-                                        u_sel[2] + bias_s * refz)
-            scx = jnp.where(specular, refx, sdx)
-            scy = jnp.where(specular, refy, sdy)
-            scz = jnp.where(specular, refz, sdz)
-            factor = 1.0 - (1.0 - _dot3(scx, scy, scz, nx, ny, nz)) * sc
-
-            new_alive = take_transmit | scatter_alive
-            ndx = jnp.where(take_transmit, rdx, scx)
-            ndy = jnp.where(take_transmit, rdy, scy)
-            ndz = jnp.where(take_transmit, rdz, scz)
-            bt0 = jnp.where(take_transmit, tmt[0], factor * rfl[0])
-            bt1 = jnp.where(take_transmit, tmt[1], factor * rfl[1])
-            bt2 = jnp.where(take_transmit, tmt[2], factor * rfl[2])
-
-            o2x = jnp.where(new_alive, pos_x, ox)
-            o2y = jnp.where(new_alive, pos_y, oy)
-            o2z = jnp.where(new_alive, pos_z, oz)
-            d2x = jnp.where(new_alive, ndx, dx)
-            d2y = jnp.where(new_alive, ndy, dy)
-            d2z = jnp.where(new_alive, ndz, dz)
-            t2x = jnp.where(new_alive, thx * bt0, thx)
-            t2y = jnp.where(new_alive, thy * bt1, thy)
-            t2z = jnp.where(new_alive, thz * bt2, thz)
-            return o2x, o2y, o2z, d2x, d2y, d2z, t2x, t2y, t2z
+            return replay_lane_math(
+                row, sph, par, ms, (ox, oy, oz), (dx, dy, dz),
+                (thx, thy, thz), is_start=is_start, hit=hit,
+                entering=entering, take_transmit=take_transmit,
+                scatter_alive=scatter_alive, u_sel=u_sel)
 
         _, vjp = jax.vjp(f, row_lane, m_lane, *o, *d, *thr)
         (d_row, d_m, d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,

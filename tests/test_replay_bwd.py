@@ -1,0 +1,85 @@
+"""Row-fed replay backward kernel (ptx.ops.replay_bwd) vs the XLA
+decision-frozen replay VJP — the large-scene analogue of
+test_bounce_kernel's gradient gates.
+
+The kernel must produce the same carry/param cotangents as
+``jax.vjp(_bounce_replay)`` for any leaf count (it is built whenever the
+scene's materials are const and L exceeds the fused-kernel unroll
+budget).  Interpret-mode pallas is slow on CPU, so each scene runs ONE
+kernel call at a 512-lane wavefront (padded to one 4096-lane grid step).
+"""
+
+import numpy as np
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import pytest
+
+from ptx.integrate import trace as tr
+from ptx.scenes.builders import stress_gadgets, stress_spheres
+
+
+def _scene(builder, n, monkeypatch):
+    monkeypatch.setenv("PTX_PALLAS", "1")   # CPU: jnp hit + row-fed bwd
+    monkeypatch.setenv("PTX_FUSED", "1")
+    scene = tr.compile_scene(builder(n))
+    return scene
+
+
+def _rays(B, seed=0):
+    rng = np.random.default_rng(seed)
+    o = np.stack([rng.uniform(-3, 3, B), rng.uniform(-3, 3, B),
+                  np.full(B, 12.0)], -1).astype(np.float32)
+    d = np.stack([rng.uniform(-0.4, 0.4, B), rng.uniform(-0.4, 0.4, B),
+                  -np.ones(B)], -1).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _q99(a, b):
+    a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-3)
+    return float(np.quantile(rel, 0.99))
+
+
+@pytest.mark.parametrize("builder,n", [(stress_spheres, 25),
+                                       (stress_gadgets, 12)])
+def test_rowfed_bwd_matches_xla_replay(builder, n, monkeypatch):
+    scene = _scene(builder, n, monkeypatch)
+    assert scene.bounce_bwd_fn is not None, "row-fed kernel not built"
+    assert scene.bounce_fn is None          # large scene: no fused fwd
+
+    B = 512
+    o, d = _rays(B, seed=3)
+    thr = jnp.full((B, 3), 0.8)
+    st = jnp.ones(B)
+    alive = jnp.ones(B, bool)
+    k = jax.random.PRNGKey(9)
+    _, dec = tr._bounce_live(scene, scene.params, o, d, thr, st, alive,
+                             k, True, use_fused=False)
+    assert bool(np.asarray(dec["hit"]).any()), "degenerate fixture"
+
+    rng = np.random.default_rng(11)
+    cts = tuple(jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+                for _ in range(3))
+
+    d_o, d_d, d_thr, d_params = scene.bounce_bwd_fn(
+        scene.params, o, d, thr, dec, *cts)
+
+    def rep(params, o_, d_, thr_, st_):
+        return tr._bounce_replay(scene, params, o_, d_, thr_, st_,
+                                 alive, dec)
+
+    _, vjp = jax.vjp(rep, scene.params, o, d, thr, st)
+    rp, ro, rd, rthr, _rst = vjp((*cts, jnp.zeros(B)))
+
+    assert _q99(d_o, ro) < 5e-3
+    assert _q99(d_d, rd) < 5e-3
+    assert _q99(d_thr, rthr) < 5e-3
+    flat_k, _ = jax.flatten_util.ravel_pytree(
+        {n_: v for n_, v in d_params.items() if n_ != "images"})
+    flat_r, _ = jax.flatten_util.ravel_pytree(
+        {n_: v for n_, v in rp.items() if n_ != "images"})
+    assert _q99(flat_k, flat_r) < 5e-3
+    # every array finite
+    for t in (d_o, d_d, d_thr, flat_k):
+        assert np.isfinite(np.asarray(t)).all()
