@@ -16,10 +16,12 @@ SELECTED IN XLA (one (B, 36) gather — leaf row 26 + is_sphere/parity +
 fetch is one row) and fed to the kernel as a (B/128, 40, 128) VMEM
 block; the kernel runs ``jax.vjp`` over the shared per-lane replay math
 (bounce_kernel.replay_lane_math — trace-time autodiff, no hand
-adjoints) and writes per-lane cotangent rows back.  The (B, 36) → (L,
-36) cotangent contraction rides the MXU one-hot matmul in XLA (the
-per-UPDATE-row scatter cost rule, ptx.ops.tableops), and the params
-transpose reuses ``jax.vjp`` of the packing function.
+adjoints).  The (B, 36) → (L, 36) cotangent contraction happens
+IN-KERNEL on the MXU (per-sublane one-hot dots into a sequential-grid
+(L_pad, 128) accumulator — the flagship bounce_bwd pattern), so the
+per-lane cotangent rows never touch HBM and no (B, L) one-hot is ever
+materialized; the params transpose reuses ``jax.vjp`` of the packing
+function on the tiny (L, 36) result.
 
 Reference parity: the replay math mirrors the reference integrator's
 bounce equations (/root/reference/src/path-trace.h:105-170) exactly as
@@ -70,6 +72,8 @@ def build_replay_bwd(leaves, material_meta, mats_np):
             [rows, jnp.asarray(aux_np), mat[jnp.asarray(leaf_mat)]],
             axis=1)                                            # (L, 36)
 
+    _LPAD = max(8, -(-L // 8) * 8)
+
     def kernel(row_ref, evt_ref, fl_ref, ux_ref, uy_ref, uz_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref,
@@ -78,7 +82,7 @@ def build_replay_bwd(leaves, material_meta, mats_np):
                ct_x_ref, ct_y_ref, ct_z_ref,
                do_x_ref, do_y_ref, do_z_ref,
                dd_x_ref, dd_y_ref, dd_z_ref,
-               dt_x_ref, dt_y_ref, dt_z_ref, drow_ref):
+               dt_x_ref, dt_y_ref, dt_z_ref, dacc_ref):
         evt = evt_ref[...]
         fl = fl_ref[...]
         # flag encoding identical to bounce_kernel's bwd_fn
@@ -119,7 +123,31 @@ def build_replay_bwd(leaves, material_meta, mats_np):
         dt_x_ref[...] = d_tx
         dt_y_ref[...] = d_ty
         dt_z_ref[...] = d_tz
-        drow_ref[...] = d_row
+        # contract per-lane cotangent rows into per-LEAF rows on the MXU
+        # IN-KERNEL (flagship bounce_bwd pattern: per-sublane one-hot
+        # dots into a sequential-grid accumulator) — this kills the XLA
+        # one-hot materialization (67 MB/bounce at B=65k, L=256), the
+        # d_row layout transpose, and the d_row HBM round trip.
+        leaf_f = jnp.where(evt >= jnp.float32(L),
+                           evt - jnp.float32(L), evt)       # (_BLK, 128)
+        iota_l = jax.lax.broadcasted_iota(
+            jnp.int32, (_LPAD, 128), 0).astype(jnp.float32)
+        acc = jnp.zeros((_LPAD, 128), jnp.float32)
+        for s in range(_BLK):
+            oh = jnp.where(
+                iota_l == jnp.broadcast_to(leaf_f[s:s + 1, :],
+                                           (_LPAD, 128)), 1.0, 0.0)
+            wv = d_row[s, :, :]                              # (_RPAD, 128)
+            part = jax.lax.dot_general(
+                oh, wv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # (_LPAD, 40)
+            acc = acc + jnp.concatenate(
+                [part, jnp.zeros((_LPAD, 128 - _RPAD), jnp.float32)],
+                axis=1)
+        first = pl.program_id(0) == 0
+        prev = jnp.where(first, jnp.zeros_like(acc), dacc_ref[...])
+        dacc_ref[...] = prev + acc
 
     interpret = jax.default_backend() != "tpu"
 
@@ -137,10 +165,11 @@ def build_replay_bwd(leaves, material_meta, mats_np):
             kernel,
             grid=(grid,),
             in_specs=[rblock] + [block] * len(arrs),
-            out_specs=[block] * 9 + [rblock],
+            out_specs=[block] * 9
+                      + [pl.BlockSpec((_LPAD, 128), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)],
             out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 9
-                      + [jax.ShapeDtypeStruct((rows, _RPAD, 128),
-                                              jnp.float32)],
+                      + [jax.ShapeDtypeStruct((_LPAD, 128), jnp.float32)],
             interpret=interpret,
         )(rowblk, *(a.reshape(shape2) for a in arrs))
         return [o.reshape(n) for o in outs[:9]], outs[9]
@@ -158,12 +187,18 @@ def build_replay_bwd(leaves, material_meta, mats_np):
 
         evt = dec["evt"].astype(jnp.int32)
         leaf_idx = jnp.where(evt >= L, evt - L, evt)
+        # pad BEFORE the gather: padded lanes must carry leaf 0's REAL
+        # row (like real miss lanes, whose zero cotangents are proven
+        # NaN-free) — an all-zero pad row has ior = 0, whose unselected
+        # 1/ior branch is inf and 0·inf = NaN in the VJP; the in-kernel
+        # MXU contraction sums over ALL lanes, so one NaN lane would
+        # poison every leaf row (the old XLA contraction cut pads first)
+        if pad:
+            leaf_idx = jnp.concatenate(
+                [leaf_idx, jnp.zeros((pad,), jnp.int32)])
 
         packed, pack_vjp = jax.vjp(pack36, params)
-        g = jax.lax.stop_gradient(packed)[leaf_idx]            # (B, 36)
-        if pad:
-            g = jnp.concatenate(
-                [g, jnp.zeros((pad, _RCOLS), jnp.float32)], axis=0)
+        g = jax.lax.stop_gradient(packed)[leaf_idx]            # (Bp, 36)
         g = jnp.concatenate(
             [g, jnp.zeros((Bp, _RPAD - _RCOLS), jnp.float32)], axis=1)
         rowblk = g.reshape(Bp // 128, 128, _RPAD).transpose(0, 2, 1)
@@ -177,19 +212,13 @@ def build_replay_bwd(leaves, material_meta, mats_np):
         for arr in (o, d, thr, ct_o2, ct_d2, ct_thr2):
             comps += [col(arr[:, i]) for i in range(3)]
 
-        lanes, drow = run_kernel(rowblk, *comps)
+        lanes, dacc = run_kernel(rowblk, *comps)
         cut = lambda a: a[:B]
         d_o = jnp.stack([cut(lanes[0]), cut(lanes[1]), cut(lanes[2])], -1)
         d_d = jnp.stack([cut(lanes[3]), cut(lanes[4]), cut(lanes[5])], -1)
         d_thr = jnp.stack([cut(lanes[6]), cut(lanes[7]), cut(lanes[8])],
                           -1)
-        d36 = drow.transpose(0, 2, 1).reshape(Bp, _RPAD)[:B, :_RCOLS]
-        oh = jax.nn.one_hot(leaf_idx, L, dtype=jnp.float32)    # (B, L)
-        d_full = jax.lax.dot_general(
-            oh, d36, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)                # (L, 36)
-        (d_params,) = pack_vjp(d_full)
+        (d_params,) = pack_vjp(dacc[:L, :_RCOLS])
         return d_o, d_d, d_thr, d_params
 
     return bwd_fn
