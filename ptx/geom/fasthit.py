@@ -644,6 +644,65 @@ def _compile_mega_sweep(plan, leaves, params_ref, interpret=False):
     return hit_fn
 
 
+def compile_mega_bounce(plan, params_ref, material_meta, mats_np,
+                        interpret=None):
+    """Fused mega bounce (hit + shade + scatter in the ONE megasweep
+    launch) with the flagship bounce_fn contract
+    (ptx.ops.bounce_kernel.build_bounce_kernel) — the large-scene
+    forward's XLA shading/sampler fusion islands (~0.6 ms/bounce at
+    L=256, tools/mega_prof.py) collapse into the kernel.  Returns None
+    when the tape is not mega-eligible; material eligibility (const
+    non-emissive slots) is the caller's check, as for the flagship."""
+    import jax as _jax
+
+    from ptx.ops.megasweep import build_mega_sweep, mega_eligible
+
+    leaves = collect_leaves(plan)
+    if not mega_eligible(plan, leaves):
+        return None
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    L = len(leaves)
+    const_idx, n_materials = material_meta
+    mega = build_mega_sweep(
+        plan, leaves, eps=float(EPS), params_ref=params_ref,
+        interpret=interpret,
+        bounce_meta=(const_idx, n_materials, list(mats_np)))
+
+    def bounce_fn(params, o, d, thr, strength, alive, u_coin, u3,
+                  in_depth):
+        flat = lambda a: a.reshape(-1)
+        (t_star, entering, m_start, m_end, found, t_rep, normal, kmat,
+         hit, o2, d2, thr2, st2, bflags, u_sel) = mega(
+            params,
+            flat(o[..., 0]), flat(o[..., 1]), flat(o[..., 2]),
+            flat(d[..., 0]), flat(d[..., 1]), flat(d[..., 2]),
+            flat(thr[..., 0]), flat(thr[..., 1]), flat(thr[..., 2]),
+            flat(strength), flat(alive.astype(jnp.float32)),
+            flat(u_coin), flat(u3[..., 0]), flat(u3[..., 1]),
+            flat(u3[..., 2]), in_depth)
+        use_start = m_start < L
+        leaf_star = jnp.where(use_start, m_start,
+                              jnp.minimum(m_end, L - 1))
+        evt = jnp.where(hit, jnp.where(use_start, leaf_star,
+                                       L + leaf_star), 0)
+        fl = bflags
+        return {
+            "t": t_rep,
+            "o2": o2, "d2": d2, "thr2": thr2, "strength2": st2,
+            "hit": (fl & 1).astype(bool),
+            "entering": ((fl >> 1) & 1).astype(bool),
+            "take_transmit": ((fl >> 2) & 1).astype(bool),
+            "scatter_alive": ((fl >> 3) & 1).astype(bool),
+            "alive2": ((fl >> 4) & 1).astype(bool),
+            "evt": evt.astype(jnp.int32),
+            "mat_id": kmat,
+            "u_sel": u_sel,
+        }
+
+    return bounce_fn
+
+
 def _compile_union_sweep(plan, leaves, sweep_kernel: bool | str | None = None,
                          sweep_mode: str | None = None, params_ref=None):
     """Sorted-interval sweep first hit for union-decomposable tapes

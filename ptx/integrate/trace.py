@@ -167,11 +167,15 @@ def compile_scene(root, fast: bool = True,
         # in-kernel, L-independent (ptx.ops.replay_bwd).  Same const-
         # material eligibility as the fused bounce; PTX_RBWD=0 disables.
         from ptx.ops.replay_bwd import build_replay_bwd
-        from ptx.geom.fasthit import collect_leaves
+        from ptx.geom.fasthit import collect_leaves, compile_mega_bounce
         lv = collect_leaves(plan)
-        bounce_bwd_fn = build_replay_bwd(
-            lv, (material_fn.const_idx, material_fn.n_materials),
-            [lf.mat_id for lf, _ in lv])
+        meta = (material_fn.const_idx, material_fn.n_materials)
+        mats_np = [lf.mat_id for lf, _ in lv]
+        bounce_bwd_fn = build_replay_bwd(lv, meta, mats_np)
+        if os.environ.get("PTX_MEGAB") != "0":
+            # fused mega bounce: hit + shade + scatter in the one
+            # megasweep launch (None when the tape is not mega-eligible)
+            bounce_fn = compile_mega_bounce(plan, params, meta, mats_np)
 
     # fused emission kernel (trig + MXU one-hot VMEM image gather + const
     # select in one launch): eligible when the scene has exactly one

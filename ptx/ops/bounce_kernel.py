@@ -88,6 +88,151 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def shade_lane_math(t, nx, ny, nz, hit, entering, o, d, thr, strength,
+                    alive, u_coin, u3, in_depth, mat9):
+    """Per-lane shade + stochastic scatter (everything after the first
+    hit in trace._bounce_live): refract/Fresnel branch pick, the exact
+    ball-cap sampler, throughput/strength update with the reference's
+    virtual fan-out division (path-trace.h:105-162).  Shape-polymorphic
+    — shared by the flagship fused bounce ((T, 128) tiles) and the
+    megasweep fused bounce ((1, bw) rows, ptx.ops.megasweep).
+
+    ``mat9``: 9-indexable material scalars [rfl₀₁₂, scatter_f, tr₀₁₂,
+    transmit_reflect_f, ior]; ``u3``: 3-tuple of uniforms; ``in_depth``
+    may be a traced scalar.  Returns ``(o2₃, d2₃, thr2₃, strength2,
+    flags, u_sel₃)`` with the flag encoding of the flagship kernel
+    (hit | entering<<1 | take_transmit<<2 | scatter_alive<<3 |
+    alive2<<4)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    thx, thy, thz = thr
+    u3a, u3b, u3c = u3
+    rfl0, rfl1, rfl2 = mat9[0], mat9[1], mat9[2]
+    scatter_f = mat9[3]
+    tr0, tr1, tr2 = mat9[4], mat9[5], mat9[6]
+    trc_f = mat9[7]
+    ior = mat9[8]
+    live_hit = alive & hit
+
+    # continuation gate (path-trace.h:105)
+    cont = live_hit & in_depth & (strength >= EPS)
+
+    pos_x = ox + t * dx
+    pos_y = oy + t * dy
+    pos_z = oz + t * dz
+
+    rel_ior = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-20), ior)
+
+    # refract strength + direction (vector3d.h:191-214, linalg guards)
+    nux, nuy, nuz = _normalize3(nx, ny, nz)
+    ix, iy, iz = _normalize3(dx, dy, dz)
+    idn = _dot3(ix, iy, iz, nux, nuy, nuz)
+    arg = 1.0 - rel_ior * rel_ior * (1.0 - idn * idn)
+    n_m2 = _dot3(nx, ny, nz, nx, ny, nz)
+    d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
+    base_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
+               & (n_m2 > 0.0) & (d_m2 > 0.0))
+    rs_ok = base_ok & (arg > 0.0)
+    refract_strength = jnp.where(
+        rs_ok, jnp.sqrt(jnp.sqrt(jnp.where(rs_ok, arg, 1.0))), 0.0)
+    rd_ok = base_ok & (arg >= 0.0)
+    kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
+    rdx = rel_ior * ix - kk * nux
+    rdy = rel_ior * iy - kk * nuy
+    rdz = rel_ior * iz - kk * nuz
+    rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
+    rdx = jnp.where(rd_ok, rdx, 0.0)
+    rdy = jnp.where(rd_ok, rdy, 0.0)
+    rdz = jnp.where(rd_ok, rdz, 0.0)
+
+    trc = jnp.clip(trc_f, 0.0, 1.0)
+    refract_factor = trc * refract_strength
+    refr_ok = ((refract_factor > EPS)
+               & ((rdx != 0.0) | (rdy != 0.0) | (rdz != 0.0)))
+    p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
+    take_transmit = (u_coin < p_transmit) & cont
+    add_factor = 1.0 - p_transmit
+    scatter_alive = cont & ~take_transmit & (add_factor >= EPS)
+
+    # --- exact ball-cap scatter sampler (trace.sample_scatter_dir) ---
+    two_idn = 2.0 * _dot3(dx, dy, dz, nux, nuy, nuz)
+    refx = dx - two_idn * nux
+    refy = dy - two_idn * nuy
+    refz = dz - two_idn * nuz
+    sc = jnp.clip(scatter_f, 0.0, 1.0)
+    specular = sc <= EPS
+    safe_sc = jnp.where(specular, 1.0, sc)
+    bias_s = 1.0 / safe_sc - 1.0
+    bx, by, bz = bias_s * refx, bias_s * refy, bias_s * refz
+    m2 = _dot3(nx, ny, nz, nx, ny, nz)
+    m = jnp.sqrt(jnp.where(m2 == 0.0, 1.0, m2))
+    nhx, nhy, nhz = nx / m, ny / m, nz / m
+    c = (EPS - _dot3(nx, ny, nz, bx, by, bz)) / m
+    feasible = c < 1.0
+    cc = jnp.clip(c, -1.0, 1.0)
+    g = lambda z_: z_ - z_ * z_ * z_ * jnp.float32(1.0 / 3.0)
+    G = g(cc) + u3a * (jnp.float32(2.0 / 3.0) - g(cc))
+    carg = jnp.clip(-1.5 * G, -1.0, 1.0)
+    z = 2.0 * jnp.cos(_acos(carg) * jnp.float32(1.0 / 3.0)
+                      - jnp.float32(2.0 * np.pi / 3.0))
+    z = jnp.clip(z, cc, 1.0)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0) * u3b)
+    phi = jnp.float32(2.0 * np.pi) * u3c
+    xx, yy = r * jnp.cos(phi), r * jnp.sin(phi)
+    # branchless orthonormal frame (Duff et al. 2017)
+    s_ = jnp.where(nhz >= 0.0, 1.0, -1.0)
+    a_ = -1.0 / (s_ + nhz)
+    b_ = nhx * nhy * a_
+    e1x, e1y, e1z = 1.0 + s_ * nhx * nhx * a_, s_ * b_, -s_ * nhx
+    e2x, e2y, e2z = b_, s_ + nhy * nhy * a_, -nhy
+    usx = xx * e1x + yy * e2x + z * nhx
+    usy = xx * e1y + yy * e2y + z * nhy
+    usz = xx * e1z + yy * e2z + z * nhz
+    sdx, sdy, sdz = _normalize3(usx + bx, usy + by, usz + bz)
+    scx = jnp.where(specular, refx, sdx)
+    scy = jnp.where(specular, refy, sdy)
+    scz = jnp.where(specular, refz, sdz)
+    scat_ok = specular | feasible
+    scatter_alive = scatter_alive & scat_ok
+    factor = 1.0 - (1.0 - _dot3(scx, scy, scz, nx, ny, nz)) * sc
+
+    new_alive = take_transmit | scatter_alive
+    ndx = jnp.where(take_transmit, rdx, scx)
+    ndy = jnp.where(take_transmit, rdy, scy)
+    ndz = jnp.where(take_transmit, rdz, scz)
+    bt0 = jnp.where(take_transmit, tr0, factor * rfl0)
+    bt1 = jnp.where(take_transmit, tr1, factor * rfl1)
+    bt2 = jnp.where(take_transmit, tr2, factor * rfl2)
+    nthx, nthy, nthz = thx * bt0, thy * bt1, thz * bt2
+
+    # strength bookkeeping incl. the virtual fan-out division
+    # (trace._virtual_fanout, path-trace.h:118,130-136,162)
+    tr_norm = jnp.sqrt(tr0 * tr0 + tr1 * tr1 + tr2 * tr2)
+    rf_norm = jnp.sqrt(rfl0 * rfl0 + rfl1 * rfl1 + rfl2 * rfl2)
+    tr_strength = strength * refract_factor * tr_norm
+    vcount = jnp.floor(10000.0 * strength * add_factor * sc)
+    vcount = jnp.where((sc <= EPS) | (vcount < 1.0), 1.0, vcount)
+    sc_strength = (strength / vcount) * add_factor * factor * rf_norm
+    new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
+
+    o2 = (jnp.where(new_alive, pos_x, ox),
+          jnp.where(new_alive, pos_y, oy),
+          jnp.where(new_alive, pos_z, oz))
+    d2 = (jnp.where(new_alive, ndx, dx),
+          jnp.where(new_alive, ndy, dy),
+          jnp.where(new_alive, ndz, dz))
+    thr2 = (jnp.where(new_alive, nthx, thx),
+            jnp.where(new_alive, nthy, thy),
+            jnp.where(new_alive, nthz, thz))
+    st2 = jnp.where(new_alive, new_strength, strength)
+    flags = (jnp.where(hit, 1.0, 0.0)
+             + jnp.where(entering, 2.0, 0.0)
+             + jnp.where(take_transmit, 4.0, 0.0)
+             + jnp.where(scatter_alive, 8.0, 0.0)
+             + jnp.where(new_alive, 16.0, 0.0))
+    return o2, d2, thr2, st2, flags, (usx, usy, usz)
+
+
 def build_bounce_kernel(plan, material_meta, mats_np):
     """Compile the fused bounce kernel for a scene plan.
 
@@ -164,133 +309,21 @@ def build_bounce_kernel(plan, material_meta, mats_np):
                               P(geo_len + int(leaf_mat[k]) * _MAT_STRIDE + j),
                               v)
             return v
-        rfl0, rfl1, rfl2 = mat_scalar(0), mat_scalar(1), mat_scalar(2)
-        scatter_f = mat_scalar(3)
-        tr0, tr1, tr2 = mat_scalar(4), mat_scalar(5), mat_scalar(6)
-        trc_f = mat_scalar(7)
-        ior = mat_scalar(8)
+        mat9 = tuple(mat_scalar(j) for j in range(9))
 
-        # continuation gate (path-trace.h:105)
-        cont = live_hit & in_depth & (strength >= EPS)
-
-        pos_x = ox + t * dx
-        pos_y = oy + t * dy
-        pos_z = oz + t * dz
-
-        rel_ior = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-20), ior)
-
-        # refract strength + direction (vector3d.h:191-214, linalg guards)
-        nux, nuy, nuz = _normalize3(nx, ny, nz)
-        ix, iy, iz = _normalize3(dx, dy, dz)
-        idn = _dot3(ix, iy, iz, nux, nuy, nuz)
-        arg = 1.0 - rel_ior * rel_ior * (1.0 - idn * idn)
-        n_m2 = _dot3(nx, ny, nz, nx, ny, nz)
-        d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
-        base_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
-                   & (n_m2 > 0.0) & (d_m2 > 0.0))
-        rs_ok = base_ok & (arg > 0.0)
-        refract_strength = jnp.where(
-            rs_ok, jnp.sqrt(jnp.sqrt(jnp.where(rs_ok, arg, 1.0))), 0.0)
-        rd_ok = base_ok & (arg >= 0.0)
-        kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
-        rdx = rel_ior * ix - kk * nux
-        rdy = rel_ior * iy - kk * nuy
-        rdz = rel_ior * iz - kk * nuz
-        rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
-        rdx = jnp.where(rd_ok, rdx, 0.0)
-        rdy = jnp.where(rd_ok, rdy, 0.0)
-        rdz = jnp.where(rd_ok, rdz, 0.0)
-
-        trc = jnp.clip(trc_f, 0.0, 1.0)
-        refract_factor = trc * refract_strength
-        refr_ok = ((refract_factor > EPS)
-                   & ((rdx != 0.0) | (rdy != 0.0) | (rdz != 0.0)))
-        p_transmit = jnp.where(refr_ok, refract_factor, 0.0)
-        take_transmit = (u_coin < p_transmit) & cont
-        add_factor = 1.0 - p_transmit
-        scatter_alive = cont & ~take_transmit & (add_factor >= EPS)
-
-        # --- exact ball-cap scatter sampler (trace.sample_scatter_dir) ---
-        two_idn = 2.0 * _dot3(dx, dy, dz, nux, nuy, nuz)
-        refx = dx - two_idn * nux
-        refy = dy - two_idn * nuy
-        refz = dz - two_idn * nuz
-        sc = jnp.clip(scatter_f, 0.0, 1.0)
-        specular = sc <= EPS
-        safe_sc = jnp.where(specular, 1.0, sc)
-        bias_s = 1.0 / safe_sc - 1.0
-        bx, by, bz = bias_s * refx, bias_s * refy, bias_s * refz
-        m2 = _dot3(nx, ny, nz, nx, ny, nz)
-        m = jnp.sqrt(jnp.where(m2 == 0.0, 1.0, m2))
-        nhx, nhy, nhz = nx / m, ny / m, nz / m
-        c = (EPS - _dot3(nx, ny, nz, bx, by, bz)) / m
-        feasible = c < 1.0
-        cc = jnp.clip(c, -1.0, 1.0)
-        g = lambda z_: z_ - z_ * z_ * z_ * jnp.float32(1.0 / 3.0)
-        G = g(cc) + u3a * (jnp.float32(2.0 / 3.0) - g(cc))
-        carg = jnp.clip(-1.5 * G, -1.0, 1.0)
-        z = 2.0 * jnp.cos(_acos(carg) * jnp.float32(1.0 / 3.0)
-                          - jnp.float32(2.0 * np.pi / 3.0))
-        z = jnp.clip(z, cc, 1.0)
-        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0) * u3b)
-        phi = jnp.float32(2.0 * np.pi) * u3c
-        xx, yy = r * jnp.cos(phi), r * jnp.sin(phi)
-        # branchless orthonormal frame (Duff et al. 2017)
-        s_ = jnp.where(nhz >= 0.0, 1.0, -1.0)
-        a_ = -1.0 / (s_ + nhz)
-        b_ = nhx * nhy * a_
-        e1x, e1y, e1z = 1.0 + s_ * nhx * nhx * a_, s_ * b_, -s_ * nhx
-        e2x, e2y, e2z = b_, s_ + nhy * nhy * a_, -nhy
-        usx = xx * e1x + yy * e2x + z * nhx
-        usy = xx * e1y + yy * e2y + z * nhy
-        usz = xx * e1z + yy * e2z + z * nhz
-        sdx, sdy, sdz = _normalize3(usx + bx, usy + by, usz + bz)
-        scx = jnp.where(specular, refx, sdx)
-        scy = jnp.where(specular, refy, sdy)
-        scz = jnp.where(specular, refz, sdz)
-        scat_ok = specular | feasible
-        scatter_alive = scatter_alive & scat_ok
-        factor = 1.0 - (1.0 - _dot3(scx, scy, scz, nx, ny, nz)) * sc
-
-        new_alive = take_transmit | scatter_alive
-        ndx = jnp.where(take_transmit, rdx, scx)
-        ndy = jnp.where(take_transmit, rdy, scy)
-        ndz = jnp.where(take_transmit, rdz, scz)
-        bt0 = jnp.where(take_transmit, tr0, factor * rfl0)
-        bt1 = jnp.where(take_transmit, tr1, factor * rfl1)
-        bt2 = jnp.where(take_transmit, tr2, factor * rfl2)
-        nthx, nthy, nthz = thx * bt0, thy * bt1, thz * bt2
-
-        # strength bookkeeping incl. the virtual fan-out division
-        # (trace._virtual_fanout, path-trace.h:118,130-136,162)
-        tr_norm = jnp.sqrt(tr0 * tr0 + tr1 * tr1 + tr2 * tr2)
-        rf_norm = jnp.sqrt(rfl0 * rfl0 + rfl1 * rfl1 + rfl2 * rfl2)
-        tr_strength = strength * refract_factor * tr_norm
-        vcount = jnp.floor(10000.0 * strength * add_factor * sc)
-        vcount = jnp.where((sc <= EPS) | (vcount < 1.0), 1.0, vcount)
-        sc_strength = (strength / vcount) * add_factor * factor * rf_norm
-        new_strength = jnp.where(take_transmit, tr_strength, sc_strength)
+        o2, d2, thr2, st2, flags, u_sel = shade_lane_math(
+            t, nx, ny, nz, hit, entering, (ox, oy, oz), (dx, dy, dz),
+            (thx, thy, thz), strength, alive, u_coin, (u3a, u3b, u3c),
+            in_depth, mat9)
 
         t_ref[...] = t
-        o2x_ref[...] = jnp.where(new_alive, pos_x, ox)
-        o2y_ref[...] = jnp.where(new_alive, pos_y, oy)
-        o2z_ref[...] = jnp.where(new_alive, pos_z, oz)
-        d2x_ref[...] = jnp.where(new_alive, ndx, dx)
-        d2y_ref[...] = jnp.where(new_alive, ndy, dy)
-        d2z_ref[...] = jnp.where(new_alive, ndz, dz)
-        t2x_ref[...] = jnp.where(new_alive, nthx, thx)
-        t2y_ref[...] = jnp.where(new_alive, nthy, thy)
-        t2z_ref[...] = jnp.where(new_alive, nthz, thz)
-        st2_ref[...] = jnp.where(new_alive, new_strength, strength)
-        flags_ref[...] = (jnp.where(hit, 1.0, 0.0)
-                          + jnp.where(entering, 2.0, 0.0)
-                          + jnp.where(take_transmit, 4.0, 0.0)
-                          + jnp.where(scatter_alive, 8.0, 0.0)
-                          + jnp.where(new_alive, 16.0, 0.0))
+        o2x_ref[...], o2y_ref[...], o2z_ref[...] = o2
+        d2x_ref[...], d2y_ref[...], d2z_ref[...] = d2
+        t2x_ref[...], t2y_ref[...], t2z_ref[...] = thr2
+        st2_ref[...] = st2
+        flags_ref[...] = flags
         evt_ref[...] = jnp.where(hit, best_i, 0.0)
-        ux_ref[...] = usx
-        uy_ref[...] = usy
-        uz_ref[...] = usz
+        ux_ref[...], uy_ref[...], uz_ref[...] = u_sel
 
     interpret = jax.default_backend() != "tpu"
 

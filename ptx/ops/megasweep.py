@@ -197,9 +197,8 @@ def mega_eligible(plan, leaves) -> bool:
 # kernel
 # --------------------------------------------------------------------------
 
-def _kernel(flags_ref, rays_ref, tbl_ref, out_ref, t0_scr, t1_scr,
-            cs_scr, ce_scr, *, sphere_runs, plane_rows, classes, Lp, Sp,
-            eps):
+def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
+            classes, Lp, Sp, eps, bounce=False, in_depth_fi=0):
     """One ray block.
 
     sphere_runs: [(flag_idx, r0, rows)] — cluster-culled sphere row
@@ -210,6 +209,10 @@ def _kernel(flags_ref, rays_ref, tbl_ref, out_ref, t0_scr, t1_scr,
     ``p_base + j·Gp`` and writes slot rows at class's coverage base;
     ``slots`` = (cov_base, [(s_expr, e_expr)]).
     """
+    if bounce:
+        mat2_ref, out_ref, t0_scr, t1_scr, cs_scr, ce_scr = refs
+    else:
+        out_ref, t0_scr, t1_scr, cs_scr, ce_scr = refs
     bw = rays_ref.shape[1]
     blk = pl.program_id(0)
     ox = rays_ref[0:1, :]
@@ -440,10 +443,44 @@ def _kernel(flags_ref, rays_ref, tbl_ref, out_ref, t0_scr, t1_scr,
     nz = jnp.where(h, nz0 * sign, 1.0)   # miss placeholder (replay contract)
 
     zero = jnp.zeros((1, bw), jnp.float32)
+    head = [t_star, entering, m_start, m_end, found,
+            t_rep, nx, ny, nz, jnp.where(h, matid, 0.0), hit,
+            zero, zero, zero, zero, zero]
+    if not bounce:
+        out_ref[...] = jnp.concatenate(head, axis=0)
+        return
+
+    # ---- fused bounce (shade + scatter in the same launch) --------------
+    # material scalars for the winning leaf ride ONE MXU one-hot dot:
+    # mat2 is a (16, Lp) per-row material table, wmask the winner one-hot
+    # — (16, Lp) × (Lp, bw) at HIGHEST reproduces the f32 scalars exactly
+    # (single nonzero term per lane).  Miss lanes (no winner row) get
+    # all-zero scalars; every downstream formula is guarded for that
+    # (shade_lane_math's rel_ior/normalize guards, same as the flagship).
+    from ptx.ops.bounce_kernel import shade_lane_math
+    wmaskf = jnp.where(wmask, 1.0, 0.0)
+    mats = jax.lax.dot_general(
+        mat2_ref[...], wmaskf, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)              # (16, bw)
+    mat9 = tuple(mats[j:j + 1, :] for j in range(9))
+
+    thr = (rays_ref[6:7, :], rays_ref[7:8, :], rays_ref[8:9, :])
+    strength = rays_ref[9:10, :]
+    alive = rays_ref[10:11, :] > 0.5
+    u_coin = rays_ref[11:12, :]
+    u3 = (rays_ref[12:13, :], rays_ref[13:14, :], rays_ref[14:15, :])
+    in_depth = flags_ref[in_depth_fi, 0] > 0
+    ent_b = entering > 0.5
+
+    o2, d2, thr2, st2, bflags, u_sel = shade_lane_math(
+        t_rep, nx, ny, nz, h, ent_b, (ox, oy, oz), (dx, dy, dz),
+        thr, strength, alive, u_coin, u3, in_depth, mat9)
+
     out_ref[...] = jnp.concatenate(
-        [t_star, entering, m_start, m_end, found,
-         t_rep, nx, ny, nz, jnp.where(h, matid, 0.0), hit,
-         zero, zero, zero, zero, zero],
+        head + [o2[0], o2[1], o2[2], d2[0], d2[1], d2[2],
+                thr2[0], thr2[1], thr2[2], st2, bflags,
+                u_sel[0], u_sel[1], u_sel[2], zero, zero],
         axis=0)
 
 
@@ -453,7 +490,7 @@ def _kernel(flags_ref, rays_ref, tbl_ref, out_ref, t0_scr, t1_scr,
 
 def build_mega_sweep(plan, leaves, eps: float = float(EPS),
                      params_ref=None, interpret: bool = False,
-                     cull: bool = True):
+                     cull: bool = True, bounce_meta=None):
     """Compile the fused sweep for a mega-eligible tape.
 
     Returns ``f(params, ox, oy, oz, dx, dy, dz) -> (t_star, entering,
@@ -463,7 +500,16 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
     t_rep/normal/mat_id/hit are the in-kernel replay FORWARD values
     (stop-gradient; the caller supplies the differentiable backward via
     custom VJP — fasthit._compile_mega_sweep).
-    """
+
+    ``bounce_meta = (const_idx, n_materials, leaf_mat)`` switches the
+    kernel to FUSED-BOUNCE mode (hit + shade + scatter in the one
+    launch, shade via bounce_kernel.shade_lane_math): the returned
+    function then has the extended signature ``f(params, ox, oy, oz,
+    dx, dy, dz, thr3, strength, alive_f, u_coin, u3a, u3b, u3c,
+    in_depth)`` and additionally returns ``(o2₃, d2₃, thr2₃,
+    strength2, bounce_flags, u_sel₃)`` rows after the hit outputs —
+    the flagship bounce kernel's carry contract (eligibility: const
+    non-emissive material slots, checked by the caller)."""
     from ptx.geom import fasthit, tape as _tape
 
     L = len(leaves)
@@ -613,10 +659,15 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
             cm["solid_f0"], n_cl, seg, cm["Gp"], cm["cov_base"],
             [(_rebase(s, cm), _rebase(e, cm)) for (s, e) in cm["slots"]]))
 
+    bounce = bounce_meta is not None
+    if bounce:
+        b_const_idx, _b_n_materials, _b_leaf_mat = bounce_meta
+        mat_rows_i = mat_rows.astype(np.int32)       # per-ROW material id
     kern = functools.partial(
         _kernel, sphere_runs=sphere_runs,
         plane_rows=((ns, npl) if npl else None),
-        classes=kernel_classes, Lp=Lp, Sp=Sp, eps=eps)
+        classes=kernel_classes, Lp=Lp, Sp=Sp, eps=eps,
+        bounce=bounce, in_depth_fi=flag_count)
 
     memb_j = jnp.asarray(sphere_src.reshape(-1))
     lid_j = jnp.asarray(lid_rows)[:, None]
@@ -636,7 +687,7 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
                  for g in cm["gads"]], np.int32)       # (G, nb_leaves)
             cm["bidx"] = jnp.asarray(idx)
 
-    def f(params, ox, oy, oz, dx, dy, dz):
+    def f(params, ox, oy, oz, dx, dy, dz, *bargs):
         B = ox.shape[0]
         Bp = -(-B // _BW) * _BW
         nb = Bp // _BW
@@ -645,10 +696,21 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
             return (v if Bp == B else
                     jnp.concatenate([v, jnp.zeros(Bp - B, v.dtype)]))
 
-        rays = jnp.stack([padb(ox), padb(oy), padb(oz),
-                          padb(dx), padb(dy), padb(dz),
-                          jnp.zeros(Bp, jnp.float32),
-                          jnp.zeros(Bp, jnp.float32)], axis=0)  # (8, Bp)
+        if bounce:
+            (th0, th1, th2, st_l, al_l, uc_l, ua_l, ub_l, up_l,
+             in_depth) = bargs
+            rays = jnp.stack(
+                [padb(ox), padb(oy), padb(oz),
+                 padb(dx), padb(dy), padb(dz),
+                 padb(th0), padb(th1), padb(th2), padb(st_l),
+                 padb(al_l), padb(uc_l), padb(ua_l), padb(ub_l),
+                 padb(up_l), jnp.zeros(Bp, jnp.float32)],
+                axis=0)                                         # (16, Bp)
+        else:
+            rays = jnp.stack([padb(ox), padb(oy), padb(oz),
+                              padb(dx), padb(dy), padb(dz),
+                              jnp.zeros(Bp, jnp.float32),
+                              jnp.zeros(Bp, jnp.float32)], axis=0)
 
         # packed leaf table (Lp, 16):
         # [p0 p1 p2 p3 leaf_id covmask mat_id parity kind 0…]
@@ -703,16 +765,44 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
         else:
             flags = jnp.ones((max(flag_count, 1), nb), jnp.int32)
 
+        ins = [rays, tbl]
+        n_rays_rows = 16 if bounce else 8
+        in_specs = [
+            pl.BlockSpec((n_rays_rows, _BW), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, 16), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if bounce:
+            # in_depth rides the scalar-prefetch table as one extra row
+            # (index in_depth_fi = flag_count, static)
+            idrow = jnp.broadcast_to(
+                jnp.asarray(in_depth, jnp.int32).reshape(1, 1), (1, nb))
+            flags = jnp.concatenate([flags, idrow], axis=0)
+            # (16, Lp) per-ROW material scalar table for the in-kernel
+            # one-hot MXU select (rows: rfl0..2 sc tr0..2 trc ior, pad)
+            const = params["const"]
+            mat_all = jnp.concatenate(
+                [const[b_const_idx["reflect"]],
+                 jnp.mean(const[b_const_idx["scatter"]],
+                          axis=-1)[:, None],
+                 const[b_const_idx["transmit"]],
+                 jnp.mean(const[b_const_idx["transmit_reflect"]],
+                          axis=-1)[:, None],
+                 params["ior"][:, None]], axis=1)        # (M, 9)
+            m2 = mat_all[jnp.asarray(mat_rows_i)]        # (Lp, 9)
+            mat2 = jnp.concatenate(
+                [m2.T, jnp.zeros((7, Lp), jnp.float32)], axis=0)
+            ins.append(jax.lax.stop_gradient(mat2))
+            in_specs.append(pl.BlockSpec((16, Lp), lambda i, *_: (0, 0),
+                                         memory_space=pltpu.VMEM))
+
+        n_out = 32 if bounce else 16
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,             # flags (n_flags, n_blocks)
             grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((8, _BW), lambda i, *_: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lp, 16), lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((16, _BW), lambda i, *_: (0, i),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((n_out, _BW), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((Lp, _BW), jnp.float32),
                             pltpu.VMEM((Lp, _BW), jnp.float32),
@@ -722,17 +812,25 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
         out = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((16, Bp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_out, Bp), jnp.float32),
             interpret=interpret,
-        )(flags, rays, tbl)
+        )(flags, *ins)
         out = out[:, :B] if Bp != B else out
         out = jax.lax.stop_gradient(out)
         noid = float(Lp + 1)
         m_start = jnp.where(out[2] >= noid, L, out[2]).astype(jnp.int32)
         m_end = jnp.where(out[3] >= noid, L, out[3]).astype(jnp.int32)
         normal = jnp.stack([out[6], out[7], out[8]], axis=-1)
-        return (out[0], out[1] > 0.5, m_start, m_end, out[4] > 0.5,
+        base = (out[0], out[1] > 0.5, m_start, m_end, out[4] > 0.5,
                 out[5], normal, out[9].astype(jnp.int32), out[10] > 0.5)
+        if not bounce:
+            return base
+        o2 = jnp.stack([out[16], out[17], out[18]], axis=-1)
+        d2 = jnp.stack([out[19], out[20], out[21]], axis=-1)
+        thr2 = jnp.stack([out[22], out[23], out[24]], axis=-1)
+        u_sel = jnp.stack([out[27], out[28], out[29]], axis=-1)
+        return base + (o2, d2, thr2, out[25], out[26].astype(jnp.int32),
+                       u_sel)
 
     return f
 
