@@ -149,10 +149,43 @@ def run_golden():
     log("tpu_golden_megasweep", flip_frac=round(mega_flip, 5))
     assert mega_flip < 3e-3, f"megasweep flip fraction {mega_flip}"
 
+    # --- 4. fused mega bounce + row-fed replay backward (round 4) ------
+    # scene_s compiled above with the defaults = fused mega bounce
+    # forward + row-fed replay-bwd kernel; the A/B scene disables the
+    # fused forward (PTX_MEGAB=0) so the whole shade/scatter path runs
+    # in XLA.  Both run the same trace on hardware; the loss agreed
+    # bit-exactly and Σ|g| to ≤9e-8 when built (B=65k, depth 6) — gate
+    # at 1e-5 for headroom.  This is the only routine check of the mega
+    # bounce's Mosaic lowering (CPU tests are interpret-mode).
+    assert scene_s.bounce_fn is not None, "mega fused bounce not built"
+    os.environ["PTX_MEGAB"] = "0"
+    scene_su = tr.compile_scene(stress_spheres(57))
+    os.environ.pop("PTX_MEGAB", None)
+    assert scene_su.bounce_fn is None
+
+    def mb_loss(sc):
+        def loss(p):
+            return jnp.mean(tr.trace_rays(sc, p, om, dm, key, 4))
+        v, gr = jax.jit(jax.value_and_grad(loss))(sc.params)
+        gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(gr))
+        return float(v), gsum
+
+    vf, gf = mb_loss(scene_s)
+    vu, gu = mb_loss(scene_su)
+    mb_loss_rel = abs(vf - vu) / max(abs(vu), 1e-9)
+    mb_gsum_rel = abs(gf - gu) / max(abs(gu), 1e-9)
+    log("tpu_golden_mega_bounce", loss_rel=mb_loss_rel,
+        gsum_rel=mb_gsum_rel)
+    assert np.isfinite(vf) and np.isfinite(gf)
+    assert mb_loss_rel < 1e-5, f"mega-bounce loss divergence {mb_loss_rel}"
+    assert mb_gsum_rel < 1e-5, f"mega-bounce grad divergence {mb_gsum_rel}"
+
     return {"depth0_rel_err": float(err0),
             "depth8_divergent_frac": frac,
             "render_digest": digest,
             "megasweep_flip_frac": round(mega_flip, 5),
+            "mega_bounce_loss_rel": mb_loss_rel,
+            "mega_bounce_gsum_rel": mb_gsum_rel,
             "render_mean": round(float(arr.mean()), 6)}
 
 
