@@ -73,6 +73,7 @@ was validated on this toolchain before this module was built.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -84,7 +85,12 @@ from ptx.core.constants import EPS, MAX_VALUE
 
 _PAD_T = np.float32(3e20)
 _NEG = np.float32(-3e20)
-_BW = 512            # ray lanes per block
+# ray lanes per block: bigger blocks amortize per-block overhead (cull
+# flag reads, launch fixed costs) but the chain-exit fixpoint iterates
+# until EVERY lane in the block converges, so bigger blocks run more
+# iterations.  512 re-confirmed optimal round 4 (A/B: 256 ..., 1024 ...
+# via PTX_MEGA_BW).
+_BW = int(os.environ.get("PTX_MEGA_BW", "512"))
 CLUSTER = 16         # sphere rows per cull cluster (2 sublane tiles)
 SLOT_MAX = 8         # algebra slots per gadget before falling back
 

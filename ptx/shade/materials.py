@@ -103,13 +103,27 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
     const_idx = {s: jnp.asarray(v) for s, v in const_idx.items()}
     iors = jnp.asarray(np.array([m.ior for m in materials_in_id_order], np.float32))
 
-    from ptx.ops.tableops import table_lookup
+    from ptx.ops.tableops import table_lookup, table_lookup_aug
+    _no_aux = np.zeros((M, 0), np.float32)
+
+    def _mat_slot_lookup(params, mat_id, s):
+        # Pre-gather the (M, 3) per-material slot table (tiny, STATIC
+        # indices) so the wavefront pays ONE per-lane fetch instead of
+        # two chained gathers (index indirection + const row), and ride
+        # the MXU one-hot forward: the post-scan emission's ~5·B-lane
+        # fetch was a 0.61 ms/step per-ROW-latency gather at L=256
+        # (round-4 profile) while the (B', M) one-hot is ~0.03 ms of
+        # HBM.  Backward unchanged in spirit: one-hot MXU transpose to
+        # (M, 3), then the tiny static gather's scatter-add into const.
+        table = params["const"][const_idx[s]]                # (M, 3)
+        return table_lookup_aug(table, jnp.asarray(_no_aux), mat_id,
+                                True)
 
     def _slot_val(params, pos, mat_id, s):
-        # table_lookup: gather forward, MXU one-hot-matmul transpose —
-        # the plain gather's scatter-add backward dominated the whole
-        # backward pass (tools/bwd_ablate.py)
-        val = table_lookup(params["const"], const_idx[s][mat_id])
+        # one-hot-matmul fetch + MXU transpose — the plain gather's
+        # scatter-add backward dominated the whole backward pass
+        # (tools/bwd_ablate.py)
+        val = _mat_slot_lookup(params, mat_id, s)
         for mi, fn in dynamic[s]:
             dyn = fn(params, pos)
             val = jnp.where((mat_id == mi)[..., None], dyn, val)
@@ -173,7 +187,7 @@ def compile_material_table(materials_in_id_order, compiler: tx.TextureCompiler):
         differentiable table row and an unmasked lookup would leak those
         lanes' cotangents into it.  trace_rays adds the terminal chains
         back on per-path selected lanes (the sky-select path)."""
-        val = table_lookup(params["const"], const_idx["emissive"][mat_id])
+        val = _mat_slot_lookup(params, mat_id, "emissive")
         for mi, fn in dynamic["emissive"]:
             if mi in _term_set:
                 continue
