@@ -87,9 +87,10 @@ _PAD_T = np.float32(3e20)
 _NEG = np.float32(-3e20)
 # ray lanes per block: bigger blocks amortize per-block overhead (cull
 # flag reads, launch fixed costs) but the chain-exit fixpoint iterates
-# until EVERY lane in the block converges, so bigger blocks run more
-# iterations.  512 re-confirmed optimal round 4 (A/B: 256 ..., 1024 ...
-# via PTX_MEGA_BW).
+# until EVERY lane in the block converges, and block-coherent culling
+# degrades as blocks widen.  512 confirmed optimal round 4 (wall fwd
+# at L=256/gadget-268: 512 → 71.8/57.8, 1024 → 69.0/56.7,
+# 256 → 60.4/49.0; PTX_MEGA_BW to re-sweep).
 _BW = int(os.environ.get("PTX_MEGA_BW", "512"))
 CLUSTER = 16         # sphere rows per cull cluster (2 sublane tiles)
 SLOT_MAX = 8         # algebra slots per gadget before falling back
