@@ -343,8 +343,14 @@ def main(argv=None):
                     help="variance-guided adaptive sampling (the "
                          "reference's subdivision sampler, TPU-style)")
     sp.add_argument("--checkpoint", help="sample-sum checkpoint (.npz)")
-    sp.add_argument("--spp-chunk", type=int, default=4)
-    sp.add_argument("--rays-per-chunk", type=int, default=2 ** 21)
+    # chunk-shape defaults = the bench-optimal 65k-ray chunks (spp 1 ×
+    # H/4 bands at 512²): the old (spp 4 × full frame) shape put ~1M
+    # lanes in each dispatch, where compaction's pack/unpack pays
+    # large-operand random-access costs (~48 ns/row vs 8.5 in-VMEM —
+    # tools/scatter_bench) — measured 2.3× slower on the warm demo
+    # render (24.7 vs 56.9 Mrays/s, round 4)
+    sp.add_argument("--spp-chunk", type=int, default=1)
+    sp.add_argument("--rays-per-chunk", type=int, default=2 ** 16)
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("serve", help="render-farm worker (TCP)")
