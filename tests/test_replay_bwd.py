@@ -27,11 +27,19 @@ def _scene(builder, n, monkeypatch):
 
 
 def _rays(B, seed=0):
+    """Half random spread, half aimed at the object band so the
+    refract/transmit branch's backward is exercised (random spray alone
+    yields ~2 take_transmit lanes of 512 on the gadget scene)."""
     rng = np.random.default_rng(seed)
-    o = np.stack([rng.uniform(-3, 3, B), rng.uniform(-3, 3, B),
+    o = np.stack([rng.uniform(-3, 3, B), rng.uniform(-1, 3, B),
                   np.full(B, 12.0)], -1).astype(np.float32)
     d = np.stack([rng.uniform(-0.4, 0.4, B), rng.uniform(-0.4, 0.4, B),
                   -np.ones(B)], -1).astype(np.float32)
+    h = B // 2
+    tgt = np.stack([rng.uniform(-3, 3, h), rng.uniform(-1.0, -0.3, h),
+                    rng.uniform(-9, -3, h)], -1).astype(np.float32)
+    aim = tgt - o[:h]
+    d[:h] = aim / np.linalg.norm(aim, axis=1, keepdims=True)
     return jnp.asarray(o), jnp.asarray(d)
 
 
@@ -74,14 +82,26 @@ def test_rowfed_bwd_matches_xla_replay(builder, n, monkeypatch):
     _, vjp = jax.vjp(rep, scene.params, o, d, thr, st)
     rp, ro, rd, rthr, _rst = vjp((*cts, jnp.zeros(B)))
 
-    assert _q99(d_o, ro) < 5e-3
-    assert _q99(d_d, rd) < 5e-3
-    assert _q99(d_thr, rthr) < 5e-3
+    # grazing lanes (guaranteed by the aimed rays) have near-singular
+    # replay jacobians (d t/d params → ∞ at tangency): both paths agree
+    # to f32 there but the relative error legitimately grows — so the
+    # tail gate is 2e-2 while the bulk must be sharp (q75 < 1e-3)
+    for a, b in ((d_o, ro), (d_d, rd), (d_thr, rthr)):
+        assert _q99(a, b) < 2e-2
+        av, bv = np.asarray(a).ravel(), np.asarray(b).ravel()
+        rel = np.abs(av - bv) / np.maximum(np.abs(bv), 1e-3)
+        assert float(np.quantile(rel, 0.75)) < 1e-3
     flat_k, _ = jax.flatten_util.ravel_pytree(
         {n_: v for n_, v in d_params.items() if n_ != "images"})
     flat_r, _ = jax.flatten_util.ravel_pytree(
         {n_: v for n_, v in rp.items() if n_ != "images"})
-    assert _q99(flat_k, flat_r) < 5e-3
+    # per-leaf sums are dominated by the grazing lanes' near-singular
+    # contributions, so the tail tolerance is wider than the lane gates;
+    # the bulk must still be sharp
+    assert _q99(flat_k, flat_r) < 0.1
+    relp = (np.abs(np.asarray(flat_k) - np.asarray(flat_r))
+            / np.maximum(np.abs(np.asarray(flat_r)), 1e-3))
+    assert float(np.quantile(relp, 0.75)) < 1e-3
     # every array finite
     for t in (d_o, d_d, d_thr, flat_k):
         assert np.isfinite(np.asarray(t)).all()
