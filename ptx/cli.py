@@ -143,11 +143,17 @@ def cmd_render(args):
         from ptx.integrate.render import _render_rows_fori
         n_chunks = spp // spp_step
         y0 = 0
+        first_band_s = None
         while y0 < cam.height:
             nrows = min(rows, cam.height - y0)
             img = _render_rows_fori(scene, scene.params, cam, key,
                                     y0, nrows, spp_step, n_chunks, depth)
             acc.add(np.asarray(img), spp, y0)
+            if first_band_s is None:
+                # the first band pays the jit trace + persistent-cache
+                # executable load (seconds) — reported separately so the
+                # wall rays/s is interpretable
+                first_band_s = time.time() - t0
             meter.add(rays=nrows * cam.width * spp * (depth + 1),
                       samples=nrows * cam.width * spp, tiles=1)
             y0 += nrows
@@ -164,9 +170,11 @@ def cmd_render(args):
         dt = time.time() - t0
         meter.emit()
         log("render_done", out=out_base, seconds=round(dt, 2),
-            rays_per_sec=round(rays / max(dt, 1e-9), 1))
+            rays_per_sec=round(rays / max(dt, 1e-9), 1),
+            first_band_s=round(first_band_s or 0.0, 2))
         print(f"wrote {out_base}.bmp/.hdr  "
-              f"({rays / max(dt, 1e-9):.3g} rays/s)")
+              f"({rays / max(dt, 1e-9):.3g} rays/s; first band incl. "
+              f"compile/load {first_band_s:.1f}s)")
         return
 
     s = done_spp
