@@ -92,7 +92,14 @@ _NEG = np.float32(-3e20)
 # at L=256/gadget-268: 512 → 71.8/57.8, 1024 → 69.0/56.7,
 # 256 → 60.4/49.0; PTX_MEGA_BW to re-sweep).
 _BW = int(os.environ.get("PTX_MEGA_BW", "512"))
-CLUSTER = 16         # sphere rows per cull cluster (2 sublane tiles)
+# sphere rows per cull cluster: smaller clusters cull finer but
+# multiply flags, pl.when segments, and table slices — and at 512-lane
+# ray blocks fine-grained culls rarely fire, so coarser wins.  Round-4
+# sweep (wall fwd / fwd+bwd at L=256 and gadget-268):
+#   8 → 64.7/46.1, 50.3/36.8    16 → 69.2/49.0, 57.2/40.9
+#  32 → 73.5/50.1, 58.9/42.7    64 → 75.2/51.1, 62.2/44.5
+# 128 → 74.3/49.2, 61.1/44.4   (PTX_MEGA_CLUSTER to re-sweep)
+CLUSTER = int(os.environ.get("PTX_MEGA_CLUSTER", "64"))
 SLOT_MAX = 8         # algebra slots per gadget before falling back
 
 
