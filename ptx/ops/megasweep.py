@@ -90,7 +90,8 @@ _NEG = np.float32(-3e20)
 # until EVERY lane in the block converges, and block-coherent culling
 # degrades as blocks widen.  512 confirmed optimal round 4 (wall fwd
 # at L=256/gadget-268: 512 → 71.8/57.8, 1024 → 69.0/56.7,
-# 256 → 60.4/49.0; PTX_MEGA_BW to re-sweep).
+# 256 → 60.4/49.0; re-checked at CLUSTER=64: 1024 → 70.6/59.8 vs
+# 512 → 75.7/62.4; PTX_MEGA_BW to re-sweep).
 _BW = int(os.environ.get("PTX_MEGA_BW", "512"))
 # sphere rows per cull cluster: smaller clusters cull finer but
 # multiply flags, pl.when segments, and table slices — and at 512-lane
