@@ -522,7 +522,15 @@ def replay_lane_math(row, sph, par, ms, o, d, thr, *, is_start, hit,
     d_m2 = _dot3(dx, dy, dz, dx, dy, dz)
     rd_ok = ((rel_ior > EPS) & (rel_ior < 1.0 / EPS)
              & (n_m2 > 0.0) & (d_m2 > 0.0) & (arg >= 0.0))
-    kk = rel_ior * idn + jnp.sqrt(jnp.where(rd_ok, arg, 1.0))
+    # 1e-20 floor, NOT just the rd_ok guard: rd_ok admits arg == 0
+    # exactly (grazing TIR is a valid refraction) and sqrt'(0) = inf —
+    # eta = 1 with d ⊥ n constructs it EXACTLY, compaction filler lanes
+    # do construct it, and 0·inf = NaN poisons d(ior) even with zero
+    # cotangents.  Same fix as linalg.refract (round 3, d19bc96); this
+    # inlined copy was missed and NaN'd the ior gradient the first time
+    # the replay kernel ran under compaction on hardware (round 4).
+    kk = rel_ior * idn + jnp.sqrt(
+        jnp.where(rd_ok, jnp.maximum(arg, 1e-20), 1.0))
     rdx0 = rel_ior * ix - kk * nux
     rdy0 = rel_ior * iy - kk * nuy
     rdz0 = rel_ior * iz - kk * nuz

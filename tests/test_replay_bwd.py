@@ -105,3 +105,46 @@ def test_rowfed_bwd_matches_xla_replay(builder, n, monkeypatch):
     # every array finite
     for t in (d_o, d_d, d_thr, flat_k):
         assert np.isfinite(np.asarray(t)).all()
+
+
+def test_replay_lane_math_grazing_tir_gradient_finite():
+    """eta = 1 with d ⊥ n gives arg ≡ 0 EXACTLY (f32: all small
+    integers) and rd_ok admits it — sqrt'(0) = inf would NaN d(ior)
+    even under zero cotangents (0·inf).  Compaction filler lanes
+    construct this exact lane; the inlined kernel copy of the refract
+    guard missed the round-3 linalg fix and poisoned the ior gradient
+    the first time the replay backward ran under compaction on
+    hardware.  Pure-jnp gate (no pallas): a MISS lane (hit=False ⇒ the
+    unit normal placeholder (0, 0, 1)) with d = (1, 0, 0) ⊥ n and
+    entering=False ⇒ rel_ior = ior = 1 gives arg = 1 - 1·(1 - 0) = 0
+    exactly — the filler-lane shape."""
+    from ptx.ops.bounce_kernel import replay_lane_math
+
+    eye_tail = np.concatenate([np.eye(3, 4).reshape(-1),
+                               np.eye(3).reshape(-1)]).astype(np.float32)
+    row_np = np.concatenate([[0.0, 0.0, 0.0, 1.0, 0.0], eye_tail])
+    B = 4
+    on = jnp.ones((B,), jnp.float32)
+
+    def f(row_v, ior):
+        row = tuple(row_v[j] * on for j in range(26))
+        ms = (0.5 * on, 0.0 * on, 0.5 * on, 0.0 * on, 0.9 * on,
+              0.9 * on, 0.9 * on, ior * on)
+        tt = jnp.ones((B,), bool)
+        out = replay_lane_math(
+            row, tt, on, ms,
+            (0.0 * on, 0.0 * on, 0.0 * on),
+            (1.0 * on, 0.0 * on, 0.0 * on),   # d ⊥ miss placeholder n
+            (on, on, on),
+            is_start=tt, hit=~tt, entering=~tt, take_transmit=~tt,
+            scatter_alive=~tt,
+            u_sel=(0.1 * on, 0.2 * on, 0.3 * on))
+        # RUNTIME-zero cotangents (a trace-time 0.0 weight gets pruned
+        # before the transpose ever evaluates the 0·inf product)
+        w0 = jnp.where(on > 0.0, 0.0, 1.0)
+        return sum(jnp.sum(v * w0) for v in out)
+
+    g_row, g_ior = jax.grad(f, argnums=(0, 1))(jnp.asarray(row_np),
+                                               jnp.float32(1.0))
+    assert np.isfinite(np.asarray(g_row)).all()
+    assert np.isfinite(float(g_ior)), "0*inf NaN through sqrt(arg=0)"
