@@ -165,7 +165,14 @@ def run_golden():
 
     def mb_loss(sc):
         def loss(p):
-            return jnp.mean(tr.trace_rays(sc, p, om, dm, key, 4))
+            # compact=True FORCED (B=8192 is below the auto threshold):
+            # compaction filler lanes are the shape that NaN'd the
+            # replay backward's d(ior) on its first compacted hardware
+            # run (round 4 — the arg==0 refract-gradient fix in
+            # bounce_kernel.replay_lane_math); this gate keeps the
+            # {compaction × kernel backward} combination covered.
+            return jnp.mean(tr.trace_rays(sc, p, om, dm, key, 8,
+                                          compact=True))
         v, gr = jax.jit(jax.value_and_grad(loss))(sc.params)
         gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(gr))
         return float(v), gsum
