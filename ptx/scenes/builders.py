@@ -133,11 +133,27 @@ def make_world(sky_image=None):
     return union_array(objects)
 
 
-def stress_spheres(n: int, seed: int = 0):
+def _stress_sky(sky_image):
+    """Sky material for the stress scenes: constant emissive by default,
+    or — when ``sky_image`` is given — the demo's own equirect-HDR image
+    chain (rotated Multiply→SphericalCoords→ImageTex,
+    /root/reference/src/test.cpp:97-105,123): the reference's actual
+    big-scene workload class is ``unionArray`` CSG *under an HDR probe*,
+    so the large-scene benches must be able to ride the same sky."""
+    if sky_image is None:
+        return Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    return transform_material(
+        np.asarray(linalg.rotate_x(2 * math.pi / 4)),
+        make_sky_spherical(sky_image, scale=(0.01, 0.01, 0.01)))
+
+
+def stress_spheres(n: int, seed: int = 0, sky_image=None):
     """Arbitrary-scale stress scene: ``n`` spheres in a jittered grid over
     a ground plane under an emissive sky — the ``unionArray`` big-scene
     mechanism (/root/reference/src/test.cpp:52-64) at benchmarkable leaf
-    counts.  Total leaves = n + 7 (ground + 6 sky planes)."""
+    counts.  Total leaves = n + 7 (ground + 6 sky planes).
+    ``sky_image``: optional equirect HDR array — the sky planes then carry
+    the demo's image chain (see :func:`_stress_sky`)."""
     rng = np.random.default_rng(seed)
     mats = [
         Material(reflect=(0.8, 0.3, 0.3), scatter=1.0),
@@ -155,7 +171,7 @@ def stress_spheres(n: int, seed: int = 0):
         r = rng.uniform(0.15, 0.45)
         spheres.append(Sphere((x, -1.0 + r, z), r, mats[i % len(mats)]))
     ground = Material(reflect=0.6, scatter=1.0)
-    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    sky = _stress_sky(sky_image)
     return union_array([
         *spheres,
         Plane((0.0, 1.0, 0.0), 1.0, ground),
@@ -163,7 +179,7 @@ def stress_spheres(n: int, seed: int = 0):
     ])
 
 
-def stress_gadgets(n: int, seed: int = 0):
+def stress_gadgets(n: int, seed: int = 0, sky_image=None):
     """Mixed-CSG stress scene: ``n`` compound gadgets in a jittered grid
     over a ground plane under an emissive sky.  Gadgets cycle through the
     reference driver's compound vocabulary (test.cpp:126-144): a biconvex
@@ -204,7 +220,7 @@ def stress_gadgets(n: int, seed: int = 0):
                 Sphere(c, r, diffuse[i % 2]),
                 Sphere(bite, 0.6 * r, diffuse[(i + 1) % 2])))
     ground = Material(reflect=0.6, scatter=1.0)
-    sky = Material(reflect=0.0, scatter=0.0, emissive=(0.7, 0.8, 1.0))
+    sky = _stress_sky(sky_image)
     return union_array([
         *gadgets,
         Plane((0.0, 1.0, 0.0), 1.0, ground),

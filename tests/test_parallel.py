@@ -159,6 +159,103 @@ def test_compacted_manual_vjp_sharded_digest(scene):
                                    err_msg=str(pu))
 
 
+def test_mega_shaped_scene_sharded():
+    """VERDICT r4 #2a: the large-scene production semantics under
+    shard_map.  The megasweep kernel itself cannot lower on the CPU mesh,
+    but the jnp fixpoint sweep is its cell-for-cell semantic twin
+    (tests/test_large_scenes.py) — so the mesh test forces
+    ``sweep_mode="fixpoint"`` on a mega-shaped COMPOSED scene (stress
+    spheres under the equirect image sky) and pins sharded-vs-unsharded
+    loss AND grads, compaction + manual VJP on.  The kernel's own
+    under-shard_map lowering is gated on hardware
+    (tools/mega_shard_check.py)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ptx.core import rng
+    from ptx.geom.fasthit import compile_fast_hit
+    from ptx.integrate.camera import sample_rays
+    from ptx.integrate.trace import trace_rays
+    from ptx.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
+    from ptx.parallel.render import make_train_step
+    from ptx.scenes.builders import procedural_sky_image, stress_spheres
+
+    img = procedural_sky_image(24, 48)
+    scene = compile_scene(stress_spheres(16, sky_image=img), pallas=False)
+    scene.hit_fn = compile_fast_hit(scene.plan, params_ref=scene.params,
+                                    sweep=True, sweep_mode="fixpoint")
+    scene._manual_bounce = None
+
+    tiles, samples = 4, 2
+    m = pmesh.make_mesh(tiles=tiles, samples=samples)
+    key = jax.random.PRNGKey(13)
+    depth, spp = 8, 2 * samples
+    rows = CAM.height // tiles
+    target = np.zeros((CAM.height, CAM.width, 3), np.float32)
+
+    step = make_train_step(scene, CAM, m, spp=spp, depth=depth,
+                           learning_rate=0.0, compact=True,
+                           manual_vjp=True)
+    _, loss_sharded = step(scene.params, jnp.asarray(target),
+                           jax.random.fold_in(key, 1))
+
+    def unsharded_loss(params):
+        k0 = jax.random.fold_in(key, 1)
+        total = 0.0
+        for t in range(tiles):
+            img_acc = 0.0
+            for s in range(samples):
+                k = rng.fold(k0, t, s)
+                ys = t * rows + jnp.arange(rows)
+                o, d = sample_rays(CAM, k, ys, jnp.arange(CAM.width),
+                                   spp // samples)
+                rad = trace_rays(scene, params, o, d, k, depth,
+                                 compact=True, manual_vjp=True)
+                img_acc = img_acc + jnp.mean(rad, axis=0) / samples
+            total = total + jnp.mean(
+                (img_acc - target[t * rows:(t + 1) * rows]) ** 2)
+        return total / tiles
+
+    loss_u, grads_u = jax.jit(jax.value_and_grad(unsharded_loss))(
+        scene.params)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_u),
+                               rtol=1e-5)
+
+    def body(params, key):
+        tile_idx = jax.lax.axis_index(TILE_AXIS)
+        y0 = tile_idx * rows
+
+        def local_loss(p):
+            from ptx.parallel.render import _local_render
+            img_l = _local_render(scene, CAM, depth, spp // samples, p,
+                                  key, y0, rows, compact=True,
+                                  manual_vjp=True)
+            return jnp.mean(
+                (img_l - jax.lax.dynamic_slice(
+                    jnp.asarray(target), (y0, 0, 0),
+                    (rows, CAM.width, 3))) ** 2)
+
+        g = jax.grad(local_loss)(params)
+        return jax.lax.pmean(jax.lax.pmean(g, TILE_AXIS), SAMPLE_AXIS)
+
+    grads_s = jax.jit(shard_map(
+        body, mesh=m, in_specs=(P(), P()), out_specs=P(),
+        check_vma=False))(scene.params, jax.random.fold_in(key, 1))
+
+    img_u = np.asarray(jax.tree.leaves(grads_u["images"])[0])
+    img_s = np.asarray(jax.tree.leaves(grads_s["images"])[0])
+    assert np.abs(img_u).max() > 0, "unsharded sky-image cotangent is zero"
+    np.testing.assert_allclose(img_s, img_u, rtol=2e-4, atol=1e-7,
+                               err_msg="sky-image cotangent")
+
+    flat_u = jax.tree_util.tree_flatten_with_path(grads_u)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(grads_s)[0]
+    for (pu, vu), (ps, vs) in zip(flat_u, flat_s):
+        assert pu == ps
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vu),
+                                   rtol=2e-4, atol=1e-7,
+                                   err_msg=str(pu))
+
+
 def test_flagship_image_stack_sharded():
     """VERDICT r3 #2: the FLAGSHIP stack — image equirect sky, sky-select
     post-scan emission, the imagegrad custom-VJP gather — must produce the

@@ -15,17 +15,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
+def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
+            sky=None):
+    """``sky``: optional (H, W) — the stress scene's sky planes then carry
+    the demo's equirect image chain (VERDICT r4 #1: the reference's real
+    workload class is big CSG *under an HDR probe*, test.cpp:123,134-140;
+    the megasweep and the sky-select/binned-histogram machinery must be
+    measured in ONE program, not separately)."""
     import jax
     import jax.numpy as jnp
     from ptx.geom.fasthit import collect_leaves, compile_fast_hit
     from ptx.integrate.camera import Camera, sample_rays
     from ptx.integrate.trace import compile_scene, trace_rays
-    from ptx.scenes.builders import stress_gadgets, stress_spheres
+    from ptx.scenes.builders import (procedural_sky_image, stress_gadgets,
+                                     stress_spheres)
 
     builder = stress_spheres if kind == "spheres" else stress_gadgets
+    sky_img = procedural_sky_image(*sky) if sky else None
     t0 = time.perf_counter()
-    scene = compile_scene(builder(n_spheres))
+    scene = compile_scene(builder(n_spheres, sky_image=sky_img))
     if force_blocked:
         scene.hit_fn = compile_fast_hit(scene.plan, candidate_block=32)
         scene._manual_bounce = None
@@ -110,18 +118,32 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres"):
                                      collect_leaves(scene.plan))
              else "sweep") if sweepable else
             "dense" if L <= 64 else "blocked")
-    return {"kind": kind, "units": n_spheres, "L": L,
-            "strategy": "blocked" if force_blocked else auto,
-            "compile_s": round(compile_s, 1),
-            "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2),
-            "fwd_bwd_mrps": (round(B * (depth + 1) / dt_g / 1e6, 2)
-                             if dt_g else None)}
+    out = {"kind": kind, "units": n_spheres, "L": L, "depth": depth,
+           "strategy": "blocked" if force_blocked else auto,
+           "compile_s": round(compile_s, 1),
+           "fwd_mrps": round(B * (depth + 1) / dt / 1e6, 2),
+           "fwd_bwd_mrps": (round(B * (depth + 1) / dt_g / 1e6, 2)
+                            if dt_g else None)}
+    if sky:
+        out["sky"] = f"{sky[0]}x{sky[1]}"
+    return out
 
 
 def main():
+    import argparse
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sky", default=None,
+                    help="HxW equirect probe on the stress sky planes "
+                         "(e.g. 1536x3072 — the composed workload class)")
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--only", default=None,
+                    help="comma list of unit counts to run (e.g. 249,112)")
+    args = ap.parse_args()
+    sky = tuple(int(v) for v in args.sky.split("x")) if args.sky else None
+    only = ({int(v) for v in args.only.split(",")} if args.only else None)
     cases = [(9, False, "spheres"), (9, True, "spheres"),
              (25, True, "spheres"), (57, False, "spheres"),
              (121, False, "spheres"), (249, False, "spheres"),
@@ -129,8 +151,13 @@ def main():
              (28, False, "gadgets"), (56, False, "gadgets"),
              (112, False, "gadgets")]
     for n, forced, kind in cases:
+        if only is not None and n not in only:
+            continue
+        if sky and forced:
+            continue            # blocked-overhead rows add nothing here
         try:
-            print(json.dumps(measure(n, forced, kind=kind)), flush=True)
+            print(json.dumps(measure(n, forced, kind=kind, sky=sky,
+                                     depth=args.depth)), flush=True)
         except Exception as e:
             print(json.dumps({"units": n, "kind": kind,
                               "error": repr(e)[:200]}),

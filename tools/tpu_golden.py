@@ -187,12 +187,49 @@ def run_golden():
     assert mb_loss_rel < 1e-5, f"mega-bounce loss divergence {mb_loss_rel}"
     assert mb_gsum_rel < 1e-5, f"mega-bounce grad divergence {mb_gsum_rel}"
 
+    # --- 5. composed workload class: big CSG under an HDR probe --------
+    # The reference demo's real scene shape (test.cpp:123,134-140) — the
+    # megasweep + fused mega bounce + compaction + sky-select + binned
+    # image-gradient histogram all in ONE program (VERDICT r4 #1).  Gate:
+    # fused-vs-unfused loss/grad agreement (same class as gate 4) PLUS a
+    # nonzero, finite sky-image cotangent through the whole stack.
+    from ptx.scenes.builders import procedural_sky_image
+    sky_img = procedural_sky_image(192, 384)
+    scene_c = tr.compile_scene(stress_spheres(57, sky_image=sky_img))
+    assert scene_c.bounce_fn is not None, "composed mega bounce not built"
+    os.environ["PTX_MEGAB"] = "0"
+    scene_cu = tr.compile_scene(stress_spheres(57, sky_image=sky_img))
+    os.environ.pop("PTX_MEGAB", None)
+
+    def comp_loss(sc):
+        def loss(p):
+            return jnp.mean(tr.trace_rays(sc, p, om, dm, key, 8,
+                                          compact=True))
+        v, gr = jax.jit(jax.value_and_grad(loss))(sc.params)
+        gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(gr))
+        img_g = sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree.leaves(gr["images"]))
+        return float(v), gsum, img_g
+
+    vc, gc, ic = comp_loss(scene_c)
+    vcu, gcu, icu = comp_loss(scene_cu)
+    comp_loss_rel = abs(vc - vcu) / max(abs(vcu), 1e-9)
+    comp_gsum_rel = abs(gc - gcu) / max(abs(gcu), 1e-9)
+    log("tpu_golden_composed", loss_rel=comp_loss_rel,
+        gsum_rel=comp_gsum_rel, sky_img_gsum=ic)
+    assert np.isfinite(vc) and np.isfinite(gc)
+    assert ic > 0.0, "composed scene: sky image received no gradient"
+    assert comp_loss_rel < 1e-5, f"composed loss divergence {comp_loss_rel}"
+    assert comp_gsum_rel < 1e-4, f"composed grad divergence {comp_gsum_rel}"
+
     return {"depth0_rel_err": float(err0),
             "depth8_divergent_frac": frac,
             "render_digest": digest,
             "megasweep_flip_frac": round(mega_flip, 5),
             "mega_bounce_loss_rel": mb_loss_rel,
             "mega_bounce_gsum_rel": mb_gsum_rel,
+            "composed_loss_rel": comp_loss_rel,
+            "composed_gsum_rel": comp_gsum_rel,
             "render_mean": round(float(arr.mean()), 6)}
 
 
