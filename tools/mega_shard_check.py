@@ -108,6 +108,8 @@ def main():
             jax.tree_util.tree_flatten_with_path(grads_s)[0]):
         assert pu == ps
         vu, vs = np.asarray(vu), np.asarray(vs)
+        if vu.size == 0:       # e.g. the empty xform table on this scene
+            continue
         assert np.isfinite(vs).all(), f"non-finite sharded grad {pu}"
         denom = max(float(np.abs(vu).max()), 1e-9)
         rel = float(np.abs(vs - vu).max()) / denom
