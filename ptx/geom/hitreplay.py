@@ -72,25 +72,39 @@ def leaf_rows(leaves, params):
         tail = jnp.broadcast_to(eye_tail, (len(gi), 21))
         parts.append(jnp.concatenate([n, d, inv_mag, tail], axis=1))
         order += idx_p
+    # transformed leaves: batched by (kind, chain length) — the per-leaf
+    # compose/inverse/concat chain was an O(L) op-graph that measured
+    # fwd+bwd 19.9 vs 51.9 Mrays/s on the transformed L=256 megasweep
+    # (round 5); one batched compose+inverse per group restores the
+    # packed-row economics (linalg ops broadcast over leading axes)
+    xf_groups: dict = {}
     for i in idx_o:
         lf, _p = leaves[i]
-        if lf.kind == "sphere":
-            c = params["sphere_center"][lf.index]
-            r = params["sphere_radius"][lf.index]
-            head = jnp.concatenate([c, r[None], jnp.zeros((1,))])
+        xf_groups.setdefault((lf.kind, len(lf.xform_chain)),
+                             []).append(i)
+    for (kind, clen), idxs in xf_groups.items():
+        gi = np.array([leaves[i][0].index for i in idxs])
+        ch = np.array([leaves[i][0].xform_chain for i in idxs])  # (N, k)
+        w = params["xform"][ch[:, 0]]
+        for j in range(1, clen):
+            w = linalg.compose(w, params["xform"][ch[:, j]])
+        w_inv = linalg.inverse(w)                          # (N, 3, 4)
+        if kind == "sphere":
+            c = params["sphere_center"][gi]
+            r = params["sphere_radius"][gi][:, None]
+            head = jnp.concatenate([c, r, jnp.zeros_like(r)], axis=1)
         else:
-            n = params["plane_normal"][lf.index]
-            d = params["plane_d"][lf.index]
-            inv_mag = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(n * n), 1e-30))
-            head = jnp.concatenate([n, d[None], inv_mag[None]])
-        w = params["xform"][lf.xform_chain[0]]
-        for j in lf.xform_chain[1:]:
-            w = linalg.compose(w, params["xform"][j])
-        w_inv = linalg.inverse(w)
-        tail = jnp.concatenate([w_inv.reshape(-1),
-                                jnp.transpose(w_inv[:, :3]).reshape(-1)])
-        parts.append(jnp.concatenate([head, tail])[None])
-        order.append(i)
+            n = params["plane_normal"][gi]
+            d = params["plane_d"][gi][:, None]
+            inv_mag = 1.0 / jnp.sqrt(jnp.maximum(
+                jnp.sum(n * n, axis=1, keepdims=True), 1e-30))
+            head = jnp.concatenate([n, d, inv_mag], axis=1)
+        tail = jnp.concatenate(
+            [w_inv.reshape(-1, 12),
+             jnp.transpose(w_inv[:, :, :3], (0, 2, 1)).reshape(-1, 9)],
+            axis=1)
+        parts.append(jnp.concatenate([head, tail], axis=1))
+        order += idxs
 
     rows = jnp.concatenate(parts, axis=0)
     inv = np.empty(len(leaves), np.int32)

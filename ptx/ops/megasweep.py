@@ -93,6 +93,11 @@ _NEG = np.float32(-3e20)
 # 256 → 60.4/49.0; re-checked at CLUSTER=64: 1024 → 70.6/59.8 vs
 # 512 → 75.7/62.4; PTX_MEGA_BW to re-sweep).
 _BW = int(os.environ.get("PTX_MEGA_BW", "512"))
+# gate self-test knob (tools/mega_check.py --selftest): shifts every
+# sphere t0 by a constant INSIDE the kernel, simulating a kernel bug
+# whose flips are NOT f64-adjudicable as boundary rounding — the
+# class-aware gate must fail on it even below the fraction threshold.
+_PERTURB = float(os.environ.get("PTX_MEGA_PERTURB", "0"))
 # sphere rows per cull cluster: smaller clusters cull finer but
 # multiply flags, pl.when segments, and table slices — and at 512-lane
 # ray blocks fine-grained culls rarely fire, so coarser wins.  Round-4
@@ -191,12 +196,16 @@ def _bound_expr(node, local_pos):
 
 
 def mega_eligible(plan, leaves) -> bool:
-    """True iff every leaf is an untransformed sphere/plane and every
-    compound union operand compiles to ≤ SLOT_MAX algebra slots."""
+    """True iff every leaf is a sphere/plane and every compound union
+    operand compiles to ≤ SLOT_MAX algebra slots.  Transformed leaves
+    are eligible since round 5: the packed leaf table carries each row's
+    world→object affine + A^{-T} (the replay row layout,
+    ptx.geom.hitreplay) and the kernel transforms rays per row in VMEM —
+    the reference's ``TransformedObject`` vocabulary
+    (/root/reference/include/object.h:45-70) at full kernel speed."""
     from ptx.geom import fasthit, tape as _tape
 
-    if not all(not lf.xform_chain and lf.kind in ("sphere", "plane")
-               for lf, _ in leaves):
+    if not all(lf.kind in ("sphere", "plane") for lf, _ in leaves):
         return False
     for g in fasthit.union_decompose(plan):
         if isinstance(g, _tape._LeafPlan):
@@ -213,7 +222,8 @@ def mega_eligible(plan, leaves) -> bool:
 # --------------------------------------------------------------------------
 
 def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
-            classes, Lp, Sp, eps, bounce=False, in_depth_fi=0):
+            classes, Lp, Sp, eps, bounce=False, in_depth_fi=0,
+            xform=False):
     """One ray block.
 
     sphere_runs: [(flag_idx, r0, rows)] — cluster-culled sphere row
@@ -223,11 +233,24 @@ def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
     per compound class; slot construction reads member rows at
     ``p_base + j·Gp`` and writes slot rows at class's coverage base;
     ``slots`` = (cov_base, [(s_expr, e_expr)]).
+
+    ``xform``: the table is the 32-wide replay-row layout (cols 0-25 =
+    hitreplay rows: geo head 4 + plane inv_mag + W(12) + A^{-T}(9);
+    26 lid, 27 cov, 28 mat, 29 par, 30 kind) and rays are transformed
+    world→object PER ROW before the interval formulas; the winner's
+    whole row is fetched by ONE MXU one-hot dot against the transposed
+    table (tblT input) for the in-kernel replay forward.  The
+    untransformed table stays 16-wide with broadcast rays (zero extra
+    cost for the common case).
     """
+    if xform:
+        tblT_ref, refs = refs[0], refs[1:]
     if bounce:
         mat2_ref, out_ref, t0_scr, t1_scr, cs_scr, ce_scr = refs
     else:
         out_ref, t0_scr, t1_scr, cs_scr, ce_scr = refs
+    C_LID, C_COV, C_MAT, C_PAR, C_KIND = ((26, 27, 28, 29, 30) if xform
+                                          else (4, 5, 6, 7, 8))
     bw = rays_ref.shape[1]
     blk = pl.program_id(0)
     ox = rays_ref[0:1, :]
@@ -243,23 +266,42 @@ def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
     def write_pad(scr, r0, rows):
         scr[r0:r0 + rows, :] = jnp.full((rows, bw), _PAD_T, jnp.float32)
 
+    def row_ray(r0, rows):
+        """Per-row object-space ray ((rows, bw) each) + per-row a/sa/ok.
+        Identity W rows reproduce the broadcast ray bit-exactly (the
+        transform is exact adds/mults of 0/1 coefficients)."""
+        if not xform:
+            return (ox, oy, oz, dx, dy, dz, a, sa, a_ok)
+        w = [tbl_ref[r0:r0 + rows, 5 + j:6 + j] for j in range(12)]
+        lox = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
+        loy = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
+        loz = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
+        ldx = w[0] * dx + w[1] * dy + w[2] * dz
+        ldy = w[4] * dx + w[5] * dy + w[6] * dz
+        ldz = w[8] * dx + w[9] * dy + w[10] * dz
+        ar = ldx * ldx + ldy * ldy + ldz * ldz       # (rows, bw)
+        sar = jnp.where(ar == 0.0, 1.0, ar)
+        ar_ok = jnp.where(ar != 0.0, 1.0, 0.0)
+        return (lox, loy, loz, ldx, ldy, ldz, ar, sar, ar_ok)
+
     def build_spheres(r0, rows):
         cx = tbl_ref[r0:r0 + rows, 0:1]              # (rows, 1)
         cy = tbl_ref[r0:r0 + rows, 1:2]
         cz = tbl_ref[r0:r0 + rows, 2:3]
         r = tbl_ref[r0:r0 + rows, 3:4]
-        lid = tbl_ref[r0:r0 + rows, 4:5]
-        ocx = ox - cx                                # (rows, bw)
-        ocy = oy - cy
-        ocz = oz - cz
-        b = ocx * dx + ocy * dy + ocz * dz
+        lid = tbl_ref[r0:r0 + rows, C_LID:C_LID + 1]
+        rox, roy, roz, rdx, rdy, rdz, ra, rsa, ra_ok = row_ray(r0, rows)
+        ocx = rox - cx                               # (rows, bw)
+        ocy = roy - cy
+        ocz = roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = b * b - a * cc
-        ok = jnp.where(disc > eps, a_ok, 0.0)        # f32 mask
+        disc = b * b - ra * cc
+        ok = jnp.where(disc > eps, ra_ok, 0.0)       # f32 mask
         ok = ok * jnp.where(lid < float(Lp + 1), 1.0, 0.0)  # real rows only
         sq = jnp.sqrt(jnp.where(ok > 0.5, disc, 1.0))
-        t0 = (-b - sq) / sa
-        t1 = (-b + sq) / sa
+        t0 = (-b - sq) / rsa + _PERTURB
+        t1 = (-b + sq) / rsa
         # RAW intervals, exactly _leaf_intervals' contract: miss ⇒ PAD in
         # both; valid-masking happens at the fixpoint reads below
         t0_scr[r0:r0 + rows, :] = jnp.where(ok > 0.5, t0, _PAD_T)
@@ -288,9 +330,10 @@ def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
         ny = tbl_ref[r0:r0 + rows, 1:2]
         nz = tbl_ref[r0:r0 + rows, 2:3]
         dpl = tbl_ref[r0:r0 + rows, 3:4]
-        lid = tbl_ref[r0:r0 + rows, 4:5]
-        divisor = nx * dx + ny * dy + nz * dz        # (rows, bw)
-        numer = -dpl - (nx * ox + ny * oy + nz * oz)
+        lid = tbl_ref[r0:r0 + rows, C_LID:C_LID + 1]
+        rox, roy, roz, rdx, rdy, rdz, _, _, _ = row_ray(r0, rows)
+        divisor = nx * rdx + ny * rdy + nz * rdz     # (rows, bw)
+        numer = -dpl - (nx * rox + ny * roy + nz * roz)
         small = jnp.where(jnp.abs(divisor) < eps * eps, 1.0, 0.0)
         safe_div = jnp.where(small > 0.5, 1.0, divisor)
         t = numer / safe_div
@@ -352,7 +395,7 @@ def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
     # ---- coverage views + sort-free chain-exit fixpoint -----------------
     t0 = t0_scr[...]                                 # (Lp, bw) RAW
     t1 = t1_scr[...]
-    covm = tbl_ref[:, 5:6]                           # leaf-group rows only
+    covm = tbl_ref[:, C_COV:C_COV + 1]               # leaf-group rows only
     val_p = (covm * jnp.where(t0 < t1, 1.0, 0.0)
              * jnp.where(t1 >= eps, 1.0, 0.0))
     s_p = jnp.where(val_p > 0.5, t0, _PAD_T)
@@ -397,7 +440,7 @@ def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
     found = jnp.where(t_star < 2e20, 1.0, 0.0)
 
     # ---- winner payload: min original-leaf-id equality match (RAW) ------
-    lid_col = tbl_ref[:, 4:5]                        # (Lp, 1)
+    lid_col = tbl_ref[:, C_LID:C_LID + 1]            # (Lp, 1)
     noid = float(Lp + 1)                             # > any real id
     m_start = jnp.min(jnp.where(t0 == t_star, lid_col, noid),
                       axis=0, keepdims=True)
@@ -416,37 +459,77 @@ def _kernel(flags_ref, rays_ref, tbl_ref, *refs, sphere_runs, plane_rows,
     chosen = jnp.where(m_start < noid, m_start, m_end)   # (1, bw)
     wmask = lid_col == chosen                            # (Lp, bw)
 
-    def sel(col):
-        return jnp.max(jnp.where(wmask, tbl_ref[:, col:col + 1], _NEG),
-                       axis=0, keepdims=True)
-
-    p0, p1, p2, p3 = sel(0), sel(1), sel(2), sel(3)
-    matid = sel(6)
-    par = sel(7)
-    kind = sel(8)                                    # 1 sphere / 0 plane
-
     escaped = jnp.where(t_star >= MAX_VALUE, 1.0, 0.0)
     hit = found * (1.0 - escaped)                    # (1, bw) f32
 
-    # sphere branch (replay formulas, hitreplay.recompute_flat)
-    r_sph = p3
-    inv_r = 1.0 / jnp.where(r_sph == 0.0, 1.0, r_sph)
-    ocx = ox - p0
-    ocy = oy - p1
-    ocz = oz - p2
-    snx = (ocx + t_star * dx) * inv_r
-    sny = (ocy + t_star * dy) * inv_r
-    snz = (ocz + t_star * dz) * inv_r
-    # plane branch
-    pim = 1.0 / jnp.sqrt(jnp.maximum(p0 * p0 + p1 * p1 + p2 * p2, 1e-30))
-    pnx = p0 * pim
-    pny = p1 * pim
-    pnz = p2 * pim
+    if xform:
+        # the winner's WHOLE 32-wide replay row rides ONE MXU one-hot
+        # dot against the transposed table — (32, Lp) × (Lp, bw) at
+        # HIGHEST is exact (single nonzero term per lane); miss lanes
+        # get all-zero rows (guarded below exactly like miss normals)
+        wmaskf_pay = jnp.where(wmask, 1.0, 0.0)
+        wrow = jax.lax.dot_general(
+            tblT_ref[...], wmaskf_pay, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (32, bw)
+        rw = lambda j: wrow[j:j + 1, :]
+        p0, p1, p2, p3 = rw(0), rw(1), rw(2), rw(3)
+        matid, par, kind = rw(C_MAT), rw(C_PAR), rw(C_KIND)
+        # object-space ray through the winner's W (identity rows are
+        # bit-exact pass-through)
+        lox = rw(5) * ox + rw(6) * oy + rw(7) * oz + rw(8)
+        loy = rw(9) * ox + rw(10) * oy + rw(11) * oz + rw(12)
+        loz = rw(13) * ox + rw(14) * oy + rw(15) * oz + rw(16)
+        ldx = rw(5) * dx + rw(6) * dy + rw(7) * dz
+        ldy = rw(9) * dx + rw(10) * dy + rw(11) * dz
+        ldz = rw(13) * dx + rw(14) * dy + rw(15) * dz
+        # sphere branch in object space (hitreplay.recompute_flat)
+        inv_r = 1.0 / jnp.where(p3 == 0.0, 1.0, p3)
+        snx = (lox - p0 + t_star * ldx) * inv_r
+        sny = (loy - p1 + t_star * ldy) * inv_r
+        snz = (loz - p2 + t_star * ldz) * inv_r
+        # plane branch: unit object-space normal via the packed inv_mag
+        pim = rw(4)
+        pnx, pny, pnz = p0 * pim, p1 * pim, p2 * pim
+        k_s = jnp.where(kind > 0.5, 1.0, 0.0)
+        ex = k_s * snx + (1.0 - k_s) * pnx
+        ey = k_s * sny + (1.0 - k_s) * pny
+        ez = k_s * snz + (1.0 - k_s) * pnz
+        # world normal = A^{-T} · n_obj (renormalized below)
+        nx0 = rw(17) * ex + rw(18) * ey + rw(19) * ez
+        ny0 = rw(20) * ex + rw(21) * ey + rw(22) * ez
+        nz0 = rw(23) * ex + rw(24) * ey + rw(25) * ez
+    else:
+        def sel(col):
+            return jnp.max(
+                jnp.where(wmask, tbl_ref[:, col:col + 1], _NEG),
+                axis=0, keepdims=True)
 
-    k_s = jnp.where(kind > 0.5, 1.0, 0.0)
-    nx0 = k_s * snx + (1.0 - k_s) * pnx
-    ny0 = k_s * sny + (1.0 - k_s) * pny
-    nz0 = k_s * snz + (1.0 - k_s) * pnz
+        p0, p1, p2, p3 = sel(0), sel(1), sel(2), sel(3)
+        matid = sel(C_MAT)
+        par = sel(C_PAR)
+        kind = sel(C_KIND)                           # 1 sphere / 0 plane
+
+        # sphere branch (replay formulas, hitreplay.recompute_flat)
+        r_sph = p3
+        inv_r = 1.0 / jnp.where(r_sph == 0.0, 1.0, r_sph)
+        ocx = ox - p0
+        ocy = oy - p1
+        ocz = oz - p2
+        snx = (ocx + t_star * dx) * inv_r
+        sny = (ocy + t_star * dy) * inv_r
+        snz = (ocz + t_star * dz) * inv_r
+        # plane branch
+        pim = 1.0 / jnp.sqrt(jnp.maximum(p0 * p0 + p1 * p1 + p2 * p2,
+                                         1e-30))
+        pnx = p0 * pim
+        pny = p1 * pim
+        pnz = p2 * pim
+
+        k_s = jnp.where(kind > 0.5, 1.0, 0.0)
+        nx0 = k_s * snx + (1.0 - k_s) * pnx
+        ny0 = k_s * sny + (1.0 - k_s) * pny
+        nz0 = k_s * snz + (1.0 - k_s) * pnz
     # renormalize (replay does, after its identity A^{-T})
     mag = jnp.sqrt(nx0 * nx0 + ny0 * ny0 + nz0 * nz0)
     inv_m = 1.0 / jnp.where(mag == 0.0, 1.0, mag)
@@ -529,6 +612,20 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
 
     L = len(leaves)
     leaf_pos = {id(lf): i for i, (lf, _) in enumerate(leaves)}
+    any_xform = any(lf.xform_chain for lf, _ in leaves)
+
+    def _np_world_center(lf):
+        """Compile-time world-space center for Morton cluster assignment
+        (bounds themselves are always recomputed from live params)."""
+        from ptx.core import linalg as _lin
+        c = np.asarray(params_ref["sphere_center"])[lf.index]
+        if lf.xform_chain:
+            w = np.asarray(params_ref["xform"])[lf.xform_chain[0]]
+            for j in lf.xform_chain[1:]:
+                w = np.asarray(_lin.compose(
+                    w, np.asarray(params_ref["xform"])[j]))
+            c = w[:, :3] @ c + w[:, 3]
+        return c
 
     # ---- decompose: leaf groups + compound classes -----------------------
     lg_s, lg_p = [], []            # leaf-group leaf positions
@@ -552,8 +649,7 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
 
     # Morton-order leaf-group spheres
     if lg_s and params_ref is not None:
-        src = np.array([leaves[i][0].index for i in lg_s])
-        centers = np.asarray(params_ref["sphere_center"])[src]
+        centers = np.stack([_np_world_center(leaves[i][0]) for i in lg_s])
         order = np.argsort(_morton(centers), kind="stable")
         lg_s = [lg_s[int(o)] for o in order]
 
@@ -581,8 +677,8 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
             anchor = next((j for j, (lf, _) in enumerate(sub)
                            if lf.kind == "sphere"), None)
             if anchor is not None:
-                src = np.array([leaves[g[anchor]][0].index for g in gads])
-                centers = np.asarray(params_ref["sphere_center"])[src]
+                centers = np.stack([_np_world_center(leaves[g[anchor]][0])
+                                    for g in gads])
                 order = np.argsort(_morton(centers), kind="stable")
                 gads = [gads[int(o)] for o in order]
         class_meta.append({"rep": rep, "lp": lp, "gads": gads, "m": m,
@@ -682,7 +778,7 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
         _kernel, sphere_runs=sphere_runs,
         plane_rows=((ns, npl) if npl else None),
         classes=kernel_classes, Lp=Lp, Sp=Sp, eps=eps,
-        bounce=bounce, in_depth_fi=flag_count)
+        bounce=bounce, in_depth_fi=flag_count, xform=any_xform)
 
     memb_j = jnp.asarray(sphere_src.reshape(-1))
     lid_j = jnp.asarray(lid_rows)[:, None]
@@ -692,6 +788,14 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
     kind_j = jnp.asarray(kind_rows)[:, None]
     sreal_j = jnp.asarray(sphere_real)
     plane_src_j = jnp.asarray(plane_src) if npl else None
+    # per-row leaf POSITION (pad rows → 0, masked by lid) — the xform
+    # table gathers whole replay rows by position, and world-space cull
+    # bounds are keyed by position (transformed leaves share sphere
+    # indices with untransformed ones only by coincidence)
+    row_pos = np.array([(p if p is not None else 0)
+                        for p, _ in all_rows], np.int32)
+    row_pos_j = jnp.asarray(row_pos)
+    sphere_pos_j = jnp.asarray(row_pos[:ns])
 
     # per-class runtime bound gather indices
     for cm in class_meta:
@@ -701,6 +805,9 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
                 [[leaves[g[j]][0].index for j in cm["bound_leaves"]]
                  for g in cm["gads"]], np.int32)       # (G, nb_leaves)
             cm["bidx"] = jnp.asarray(idx)
+            cm["bpos"] = jnp.asarray(np.array(
+                [[g[j] for j in cm["bound_leaves"]]
+                 for g in cm["gads"]], np.int32))      # leaf positions
 
     def f(params, ox, oy, oz, dx, dy, dz, *bargs):
         B = ox.shape[0]
@@ -727,23 +834,37 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
                               jnp.zeros(Bp, jnp.float32),
                               jnp.zeros(Bp, jnp.float32)], axis=0)
 
-        # packed leaf table (Lp, 16):
-        # [p0 p1 p2 p3 leaf_id covmask mat_id parity kind 0…]
-        sc = params["sphere_center"][memb_j]                 # (ns, 3)
-        sr = params["sphere_radius"][memb_j][:, None]
-        head_s = jnp.concatenate([sc, sr], axis=1)
-        heads = [head_s]
-        if npl:
-            n = params["plane_normal"][plane_src_j]
-            d = params["plane_d"][plane_src_j][:, None]
-            heads.append(jnp.concatenate([n, d], axis=1))
-        head = jnp.concatenate(heads, axis=0)
-        if head.shape[0] < Lp:
-            head = jnp.concatenate(
-                [head, jnp.zeros((Lp - head.shape[0], 4), jnp.float32)])
-        tbl = jnp.concatenate(
-            [head, lid_j, cov_j, mat_j, par_j, kind_j,
-             jnp.zeros((Lp, 7), jnp.float32)], axis=1)
+        if any_xform:
+            # xform table (Lp, 32): the replay row layout per row (cols
+            # 0-25: geo head 4 + plane inv_mag + W(12) + A^{-T}(9) —
+            # hitreplay.leaf_rows, identity tails for untransformed
+            # leaves) + [lid cov mat par kind pad]; pad rows carry leaf
+            # 0's REAL row (lid masks them — the replay_bwd filler-lane
+            # lesson: fabricated zero rows breed 0·inf downstream)
+            from ptx.geom import hitreplay as _hr
+            geo26 = _hr.leaf_rows(leaves, params)[row_pos_j]   # (Lp, 26)
+            tbl = jnp.concatenate(
+                [geo26, lid_j, cov_j, mat_j, par_j, kind_j,
+                 jnp.zeros((Lp, 1), jnp.float32)], axis=1)
+        else:
+            # packed leaf table (Lp, 16):
+            # [p0 p1 p2 p3 leaf_id covmask mat_id parity kind 0…]
+            sc = params["sphere_center"][memb_j]             # (ns, 3)
+            sr = params["sphere_radius"][memb_j][:, None]
+            head_s = jnp.concatenate([sc, sr], axis=1)
+            heads = [head_s]
+            if npl:
+                n = params["plane_normal"][plane_src_j]
+                d = params["plane_d"][plane_src_j][:, None]
+                heads.append(jnp.concatenate([n, d], axis=1))
+            head = jnp.concatenate(heads, axis=0)
+            if head.shape[0] < Lp:
+                head = jnp.concatenate(
+                    [head,
+                     jnp.zeros((Lp - head.shape[0], 4), jnp.float32)])
+            tbl = jnp.concatenate(
+                [head, lid_j, cov_j, mat_j, par_j, kind_j,
+                 jnp.zeros((Lp, 7), jnp.float32)], axis=1)
         tbl = jax.lax.stop_gradient(tbl)
 
         # ---- runtime cluster bounds + per-(flag, block) active table ----
@@ -763,9 +884,18 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
             return jnp.any(act.reshape(-1, nb, _BW), axis=-1)
 
         if cull and not interpret:
+            if any_xform:
+                # world-space bounding spheres keyed by leaf POSITION
+                # (conservative under the transform: |r|·‖W_lin‖_F ≥
+                # |r|·σ_max — over-inclusion only costs cull quality,
+                # never correctness)
+                wb_c, wb_r = _leaf_world_bounds(leaves, params)
+                cull_c = wb_c[sphere_pos_j]
+                cull_r = wb_r[sphere_pos_j]
+            else:
+                cull_c, cull_r = sc, jnp.abs(sr[:, 0])
             # sphere-cluster bounds: enclosing sphere of real member rows
-            bcs, brs = _cluster_bounds(sc, jnp.abs(sr[:, 0]), sreal_j,
-                                       CLUSTER)
+            bcs, brs = _cluster_bounds(cull_c, cull_r, sreal_j, CLUSTER)
             flag_rows = [block_hits(bcs, brs)]
             for cm2 in class_meta:
                 if cm2["bound_leaves"] is None:
@@ -774,7 +904,9 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
                     flag_rows.append(jnp.ones((cm2["n_cl"], nb), bool))
                 else:
                     flag_rows.append(_class_solid_flags(
-                        cm2, params, block_hits, CLUSTER))
+                        cm2, params, block_hits, CLUSTER,
+                        world_bounds=((wb_c, wb_r) if any_xform
+                                      else None)))
             flags = jnp.concatenate(flag_rows, axis=0).astype(jnp.int32)
             flags = jax.lax.stop_gradient(flags)
         else:
@@ -782,12 +914,18 @@ def build_mega_sweep(plan, leaves, eps: float = float(EPS),
 
         ins = [rays, tbl]
         n_rays_rows = 16 if bounce else 8
+        tw = 32 if any_xform else 16
         in_specs = [
             pl.BlockSpec((n_rays_rows, _BW), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, 16), lambda i, *_: (0, 0),
+            pl.BlockSpec((Lp, tw), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        if any_xform:
+            # transposed table for the winner-row MXU one-hot dot
+            ins.append(jnp.transpose(tbl))
+            in_specs.append(pl.BlockSpec((tw, Lp), lambda i, *_: (0, 0),
+                                         memory_space=pltpu.VMEM))
         if bounce:
             # in_depth rides the scalar-prefetch table as one extra row
             # (index in_depth_fi = flag_count, static)
@@ -906,15 +1044,72 @@ def _bound_leaf_list(bexpr):
     return out
 
 
-def _class_solid_flags(cm, params, block_hits, ck):
+def _leaf_world_bounds(leaves, params):
+    """Runtime world-space bounding spheres per leaf POSITION:
+    untransformed sphere → (c, |r|); transformed sphere → (W·c,
+    |r|·‖W_lin‖_F) (Frobenius ≥ spectral norm — conservative, so culled
+    clusters still equal true misses exactly).  Planes get far-away
+    zero-radius bounds (plane rows are never culled and gadget
+    bound_leaves are sphere members only).  Returns ((L, 3), (L,)),
+    stop-gradient (bounds are selection structure, like the flags)."""
+    from ptx.core import linalg as _lin
+
+    parts_c, parts_r, order = [], [], []
+    idx_plain = [i for i, (lf, _) in enumerate(leaves)
+                 if lf.kind == "sphere" and not lf.xform_chain]
+    if idx_plain:
+        gi = np.array([leaves[i][0].index for i in idx_plain])
+        parts_c.append(params["sphere_center"][gi])
+        parts_r.append(jnp.abs(params["sphere_radius"][gi]))
+        order += idx_plain
+    # batched by chain length (the per-leaf compose chain costs O(L)
+    # ops — the same lesson as hitreplay.leaf_rows' xf_groups)
+    xf_groups: dict = {}
+    for i, (lf, _p) in enumerate(leaves):
+        if lf.kind == "sphere" and lf.xform_chain:
+            xf_groups.setdefault(len(lf.xform_chain), []).append(i)
+    for clen, idxs in xf_groups.items():
+        gi = np.array([leaves[i][0].index for i in idxs])
+        ch = np.array([leaves[i][0].xform_chain for i in idxs])
+        w = params["xform"][ch[:, 0]]
+        for j in range(1, clen):
+            w = _lin.compose(w, params["xform"][ch[:, j]])
+        lin, tvec = w[:, :, :3], w[:, :, 3]
+        c = params["sphere_center"][gi]
+        parts_c.append(jnp.einsum("nij,nj->ni", lin, c) + tvec)
+        parts_r.append(jnp.abs(params["sphere_radius"][gi])
+                       * jnp.sqrt(jnp.sum(lin * lin, axis=(1, 2))))
+        order += idxs
+    idx_pl = [i for i, (lf, _) in enumerate(leaves) if lf.kind == "plane"]
+    if idx_pl:
+        parts_c.append(jnp.full((len(idx_pl), 3), 1e19, jnp.float32))
+        parts_r.append(jnp.zeros((len(idx_pl),), jnp.float32))
+        order += idx_pl
+    c_all = jnp.concatenate(parts_c, axis=0)
+    r_all = jnp.concatenate(parts_r, axis=0)
+    inv = np.empty(len(leaves), np.int32)
+    inv[np.array(order)] = np.arange(len(leaves))
+    return (jax.lax.stop_gradient(c_all[inv]),
+            jax.lax.stop_gradient(r_all[inv]))
+
+
+def _class_solid_flags(cm, params, block_hits, ck, world_bounds=None):
     """(n_cl, nb) solid-bound flags for one compound class; unbounded
     classes (bound_leaves None) are handled by the caller (always
-    active)."""
+    active).  ``world_bounds``: ((L, 3), (L,)) position-keyed bounds for
+    scenes with transformed leaves."""
     assert cm["bound_leaves"] is not None
     G, Gp = cm["G"], cm["Gp"]
-    idx = cm["bidx"]                                   # (G, nbl)
-    c = params["sphere_center"][idx.reshape(-1)].reshape(G, -1, 3)
-    r = jnp.abs(params["sphere_radius"][idx.reshape(-1)]).reshape(G, -1)
+    if world_bounds is not None:
+        wb_c, wb_r = world_bounds
+        pos = cm["bpos"]                               # (G, nbl)
+        c = wb_c[pos.reshape(-1)].reshape(G, -1, 3)
+        r = wb_r[pos.reshape(-1)].reshape(G, -1)
+    else:
+        idx = cm["bidx"]                               # (G, nbl)
+        c = params["sphere_center"][idx.reshape(-1)].reshape(G, -1, 3)
+        r = jnp.abs(params["sphere_radius"][idx.reshape(-1)]).reshape(
+            G, -1)
     # per-gadget enclosing bound of its bound-leaf spheres
     lo = jnp.min(c - r[..., None], axis=1)
     hi = jnp.max(c + r[..., None], axis=1)

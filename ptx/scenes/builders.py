@@ -147,13 +147,18 @@ def _stress_sky(sky_image):
         make_sky_spherical(sky_image, scale=(0.01, 0.01, 0.01)))
 
 
-def stress_spheres(n: int, seed: int = 0, sky_image=None):
+def stress_spheres(n: int, seed: int = 0, sky_image=None,
+                   transformed: bool = False):
     """Arbitrary-scale stress scene: ``n`` spheres in a jittered grid over
     a ground plane under an emissive sky — the ``unionArray`` big-scene
     mechanism (/root/reference/src/test.cpp:52-64) at benchmarkable leaf
     counts.  Total leaves = n + 7 (ground + 6 sky planes).
     ``sky_image``: optional equirect HDR array — the sky planes then carry
-    the demo's image chain (see :func:`_stress_sky`)."""
+    the demo's image chain (see :func:`_stress_sky`).
+    ``transformed``: wrap every sphere in a ``Transformed`` node carrying
+    a per-sphere rotation × anisotropic scale (ellipsoids — the
+    reference's ``TransformedObject`` vocabulary,
+    /root/reference/include/object.h:45-70, at scale)."""
     rng = np.random.default_rng(seed)
     mats = [
         Material(reflect=(0.8, 0.3, 0.3), scatter=1.0),
@@ -169,7 +174,20 @@ def stress_spheres(n: int, seed: int = 0, sky_image=None):
         x = (gx - (side - 1) / 2) * 1.2 + rng.uniform(-0.25, 0.25)
         z = -3.0 - gz * 1.2 + rng.uniform(-0.25, 0.25)
         r = rng.uniform(0.15, 0.45)
-        spheres.append(Sphere((x, -1.0 + r, z), r, mats[i % len(mats)]))
+        s = Sphere((x, -1.0 + r, z), r, mats[i % len(mats)])
+        if transformed:
+            # rotate about the sphere center, then squash — an ellipsoid
+            # pivoting in place (compose order: outermost first)
+            c = np.asarray((x, -1.0 + r, z), np.float32)
+            t = linalg.compose(
+                linalg.translate(c),
+                linalg.compose(
+                    linalg.rotate_y(rng.uniform(0, 2 * math.pi)),
+                    linalg.compose(
+                        linalg.scale((rng.uniform(0.7, 1.3), 0.8, 1.2)),
+                        linalg.translate(-c))))
+            s = Transformed(s, np.asarray(t))
+        spheres.append(s)
     ground = Material(reflect=0.6, scatter=1.0)
     sky = _stress_sky(sky_image)
     return union_array([

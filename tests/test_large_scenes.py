@@ -497,3 +497,70 @@ def test_megasweep_gadgets_match_fixpoint_evt():
         _assert_hits_match(a, b)
         np.testing.assert_array_equal(np.asarray(a["_evt"]),
                                       np.asarray(b["_evt"]))
+
+
+def test_megasweep_transformed_matches_fixpoint_evt():
+    """Round 5: transformed leaves are mega-eligible — the packed table
+    carries each row's W / A^{-T} (the hitreplay row layout) and rays
+    transform per row in VMEM (ptx.ops.megasweep ``xform`` mode).  The
+    kernel must agree event-for-event with the fixpoint sweep on (a) a
+    stress grid of per-sphere-rotated ellipsoids and (b) whole-gadget
+    transforms (lenses rotated as a unit — members share one chain), and
+    gradients must flow into the XFORM parameter itself.  ONE
+    interpret-mode call per world (CLAUDE.md interpret-cost rule)."""
+    from ptx.core import linalg
+    from ptx.geom.tape import Plane, Transformed, Union
+    from ptx.scenes.builders import (make_lens, sky_planes, stress_spheres)
+    from ptx.shade.materials import Material
+    from ptx.ops.megasweep import mega_eligible
+    from ptx.geom.fasthit import collect_leaves
+
+    g = np.random.default_rng(31)
+    glass = Material(reflect=0.7, scatter=0.0, transmit=0.9, ior=1.3,
+                     transmit_reflect=1.0)
+    sky = Material(reflect=0.0, scatter=0.0, emissive=(1.0, 1.0, 1.0))
+    gads = []
+    for i in range(6):
+        c = np.asarray((g.uniform(-3, 3), 0.0, g.uniform(-7, -3)),
+                       np.float32)
+        lens = make_lens(c, (0.0, 0.3, 1.0), 0.35, 0.7, glass)
+        T = np.asarray(linalg.compose(
+            linalg.translate(c),
+            linalg.compose(linalg.rotate_z(g.uniform(0, 2)),
+                           linalg.translate(-c))))
+        gads.append(Transformed(lens, T))
+    worlds = [
+        stress_spheres(16, seed=7, transformed=True),
+        Union(*gads, Plane((0.0, 1.0, 0.0), 1.0, glass),
+              *sky_planes(sky)),
+    ]
+    for world in worlds:
+        scene = compile_scene(world, pallas=False)
+        lv = collect_leaves(scene.plan)
+        assert any(lf.xform_chain for lf, _ in lv)
+        assert mega_eligible(scene.plan, lv)
+        fix = compile_fast_hit(scene.plan, sweep=True,
+                               sweep_mode="fixpoint")
+        mega = compile_fast_hit(scene.plan, sweep=True, sweep_mode="mega",
+                                sweep_kernel="interpret",
+                                params_ref=scene.params)
+        o = np.stack([g.uniform(-6, 6, 384), g.uniform(-1.5, 3, 384),
+                      g.uniform(-9, 2, 384)], -1).astype(np.float32)
+        d = g.normal(size=(384, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        a = jax.jit(mega)(scene.params, o, d)
+        b = jax.jit(fix)(scene.params, o, d)
+        assert int(np.asarray(a["hit"]).sum()) > 100
+        _assert_hits_match(a, b)
+        np.testing.assert_array_equal(np.asarray(a["_evt"]),
+                                      np.asarray(b["_evt"]))
+
+        def loss(params):
+            h = mega(params, o, d)
+            return jnp.sum(jnp.where(h["hit"], h["t"], 0.0))
+
+        grads = jax.grad(loss)(scene.params)
+        gx = np.asarray(grads["xform"])
+        assert np.isfinite(gx).all() and np.abs(gx).max() > 0, \
+            "no gradient reached the transform parameters"

@@ -14,6 +14,8 @@ flip FRACTION with agreement on the non-flipped lanes.  ONE interpret
 call per bounce (CLAUDE.md interpret-cost rule).
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -21,6 +23,10 @@ import pytest
 
 from ptx.integrate import trace as tr
 from ptx.scenes.builders import stress_gadgets, stress_spheres
+
+# round 5: transformed leaves are mega-eligible — the fused bounce must
+# stay a drop-in with per-row W / A^{-T} payloads (xform table mode)
+stress_spheres_xf = functools.partial(stress_spheres, transformed=True)
 
 
 def _rays(B, seed=0):
@@ -56,7 +62,8 @@ _DKEYS = ("evt", "entering", "hit", "mat_id", "take_transmit",
 
 
 @pytest.mark.parametrize("builder,n", [(stress_spheres, 25),
-                                       (stress_gadgets, 12)])
+                                       (stress_gadgets, 12),
+                                       (stress_spheres_xf, 25)])
 def test_mega_fused_bounce_matches_unfused(builder, n, monkeypatch):
     monkeypatch.setenv("PTX_PALLAS", "1")
     monkeypatch.setenv("PTX_FUSED", "1")

@@ -14,6 +14,81 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _adjudicate_flips(scene, o_np, d_np, lanes):
+    """f64 recompute at flip lanes (VERDICT r4 #8): a flip is ACCEPTED
+    only when the lane provably sits within f32 rounding noise of a
+    measure-zero decision boundary (the class README delta 8 documents):
+    a sphere's grazing-tangency disc at the EPS cut, a plane's
+    divisor/on-boundary guard at the EPS² cut, an endpoint at the EPS
+    validity cut, or two event endpoints rounding-coincident (tie-break
+    order).  Margins are measured in f64 relative to the f32 rounding
+    scale of the deciding expression; TOL f32-ulps of slack cover the
+    paths' differing fma contraction.  A kernel bug that shifts results
+    by more than rounding (see PTX_MEGA_PERTURB) produces flips whose
+    margins are ~1e4 ulps — REJECTED regardless of flip fraction.
+    Returns the number of flips NOT adjudicable as boundary rounding."""
+    import numpy as np
+    from ptx.core.constants import EPS, MAX_VALUE
+    from ptx.geom.fasthit import collect_leaves
+
+    leaves = collect_leaves(scene.plan)
+    p = scene.params
+    centers = np.asarray(p["sphere_center"], np.float64)
+    radii = np.asarray(p["sphere_radius"], np.float64)
+    pn = np.asarray(p["plane_normal"], np.float64)
+    pd = np.asarray(p["plane_d"], np.float64)
+    ulp = float(np.finfo(np.float32).eps)            # 1.19e-7
+    TOL = 64.0                                       # f32-ulps of slack
+    eps = float(EPS)
+    n_real = 0
+    for li in lanes:
+        o = o_np[li].astype(np.float64)
+        d = d_np[li].astype(np.float64)
+        margins = []
+        endpoints = []
+        for lf, _par in leaves:
+            assert not lf.xform_chain, "gate scene is untransformed"
+            if lf.kind == "sphere":
+                c, r = centers[lf.index], radii[lf.index]
+                oc = o - c
+                a = d @ d
+                b = oc @ d
+                cc = oc @ oc - r * r
+                disc = b * b - a * cc
+                scale = ulp * (abs(b * b) + abs(a * cc) + eps)
+                margins.append(abs(disc - eps) / scale)
+                if disc > eps and a != 0.0:
+                    sq = np.sqrt(disc)
+                    endpoints += [(-b - sq) / a, (-b + sq) / a]
+            else:
+                nv, dd = pn[lf.index], pd[lf.index]
+                divisor = nv @ d
+                numer = -dd - nv @ o
+                s1 = ulp * (np.abs(nv) @ np.abs(d) + 1e-30)
+                margins.append(abs(abs(divisor) - eps * eps) / s1)
+                s2 = ulp * (abs(dd) + np.abs(nv) @ np.abs(o) + 1e-30)
+                margins.append(abs(abs(numer) - eps * eps) / s2)
+                if abs(divisor) >= eps * eps:
+                    t = numer / divisor
+                    if abs(t) < MAX_VALUE:
+                        endpoints.append(t)
+        ep = np.asarray(endpoints, np.float64)
+        if ep.size:
+            # endpoint at the EPS validity/selection cut
+            margins += list(np.abs(ep - eps) /
+                            (ulp * np.maximum(np.abs(ep), 1.0)))
+            # rounding-coincident endpoint pair (tie-break flip class)
+            if ep.size > 1:
+                dif = np.abs(ep[:, None] - ep[None, :])
+                sc = (ulp * np.maximum(np.abs(ep)[:, None],
+                                       np.abs(ep)[None, :]) + 1e-300)
+                iu = np.triu_indices(ep.size, 1)
+                margins.append(float((dif / sc)[iu].min()))
+        if not margins or min(margins) > TOL:
+            n_real += 1
+    return n_real
+
+
 def agreement(n):
     import numpy as np
     import jax
@@ -33,15 +108,16 @@ def agreement(n):
     o[:, 1] = rng.uniform(-1.2, 4, B)
     d = rng.normal(size=(B, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o_np, d_np = o, d
     o = jnp.asarray(o); d = jnp.asarray(d)
     ha = jax.jit(lambda p: fix(p, o, d))(scene.params)
     hb = jax.jit(lambda p: mega(p, o, d))(scene.params)
     out = {"event": "mega_agreement", "L": L, "B": B}
-    worst = 0
+    mism = np.zeros(B, bool)
     for k in ("hit", "entering", "_evt", "mat_id"):
-        nmm = int((np.asarray(ha[k]) != np.asarray(hb[k])).sum())
-        out[k + "_mismatch"] = nmm
-        worst = max(worst, nmm)
+        mm = np.asarray(ha[k]) != np.asarray(hb[k])
+        out[k + "_mismatch"] = int(mm.sum())
+        mism |= mm
     out["t_maxdiff"] = float(np.abs(np.asarray(ha["t"]) -
                                     np.asarray(hb["t"])).max())
     # Diagnosed flip class (round 4): f64 recompute shows every mismatch
@@ -49,11 +125,16 @@ def agreement(n):
     # disc is inside f32 rounding noise of the EPS cut, or a sky-box
     # corner where two planes' entries are rounding-close.  Mosaic fma
     # contraction vs XLA fusion rounds those differently; each path is
-    # self-consistent.  Gate: flip FRACTION, same policy as the
-    # tpu_golden divergent-lane gates.
-    out["flip_frac"] = round(worst / B, 6)
+    # self-consistent.  Gate (round 5, class-AWARE): the flip fraction is
+    # bounded AND every flip must be f64-adjudicated as boundary
+    # rounding — a kernel change that widens the class fails the gate
+    # even below the fraction threshold (_adjudicate_flips docstring;
+    # --selftest proves it on a deliberately perturbed kernel).
+    out["flip_frac"] = round(float(mism.mean()), 6)
+    lanes = np.nonzero(mism)[0]
+    out["flips_real"] = _adjudicate_flips(scene, o_np, d_np, lanes)
     print(json.dumps(out), flush=True)
-    return worst / B
+    return float(mism.mean()), out["flips_real"]
 
 
 def throughput(n, mode, depth):
@@ -131,18 +212,43 @@ def main():
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--modes", default="fixpoint,mega")
     ap.add_argument("--no-agree", action="store_true")
+    ap.add_argument("--selftest", action="store_true",
+                    help="re-run the agreement gate with the kernel "
+                         "deliberately perturbed (PTX_MEGA_PERTURB) and "
+                         "require it to FAIL — proves the class-aware "
+                         "adjudication rejects non-rounding flips")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.selftest:
+        # subprocess: _PERTURB is read at megasweep import time
+        import subprocess
+        env = dict(os.environ, PTX_MEGA_PERTURB="2e-4")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sizes", "57",
+             "--modes", ""],
+            env=env, capture_output=True, text=True)
+        line = next((l for l in r.stdout.splitlines()
+                     if '"mega_agreement"' in l), "{}")
+        rec = json.loads(line)
+        ok = r.returncode != 0 and rec.get("flips_real", 0) > 0
+        print(json.dumps({"event": "mega_gate_selftest",
+                          "perturbed_gate_failed": r.returncode != 0,
+                          "flips_real": rec.get("flips_real"),
+                          "flip_frac": rec.get("flip_frac"),
+                          "selftest_ok": ok}))
+        sys.exit(0 if ok else 1)
     sizes = [int(s) for s in args.sizes.split(",")]
-    worst_frac = 0.0
+    worst_frac, real_total = 0.0, 0
     for n in sizes:
         if not args.no_agree:
-            worst_frac = max(worst_frac, agreement(n))
-        for mode in args.modes.split(","):
+            frac, n_real = agreement(n)
+            worst_frac = max(worst_frac, frac)
+            real_total += n_real
+        for mode in (m for m in args.modes.split(",") if m):
             throughput(n, mode, args.depth)
-    sys.exit(1 if worst_frac > 3e-3 else 0)
+    sys.exit(1 if (worst_frac > 3e-3 or real_total > 0) else 0)
 
 
 if __name__ == "__main__":

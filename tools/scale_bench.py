@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
-            sky=None):
+            sky=None, transformed=False):
     """``sky``: optional (H, W) — the stress scene's sky planes then carry
     the demo's equirect image chain (VERDICT r4 #1: the reference's real
     workload class is big CSG *under an HDR probe*, test.cpp:123,134-140;
@@ -32,8 +32,12 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
 
     builder = stress_spheres if kind == "spheres" else stress_gadgets
     sky_img = procedural_sky_image(*sky) if sky else None
+    kw = dict(sky_image=sky_img)
+    if transformed:
+        assert kind == "spheres", "--transformed is a spheres-only row"
+        kw["transformed"] = True
     t0 = time.perf_counter()
-    scene = compile_scene(builder(n_spheres, sky_image=sky_img))
+    scene = compile_scene(builder(n_spheres, **kw))
     if force_blocked:
         scene.hit_fn = compile_fast_hit(scene.plan, candidate_block=32)
         scene._manual_bounce = None
@@ -126,6 +130,8 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
                             if dt_g else None)}
     if sky:
         out["sky"] = f"{sky[0]}x{sky[1]}"
+    if transformed:
+        out["transformed"] = True
     return out
 
 
@@ -139,6 +145,9 @@ def main():
                     help="HxW equirect probe on the stress sky planes "
                          "(e.g. 1536x3072 — the composed workload class)")
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--transformed", action="store_true",
+                    help="wrap every stress sphere in a Transformed node "
+                         "(megasweep xform-table mode)")
     ap.add_argument("--only", default=None,
                     help="comma list of unit counts to run (e.g. 249,112)")
     args = ap.parse_args()
@@ -153,11 +162,15 @@ def main():
     for n, forced, kind in cases:
         if only is not None and n not in only:
             continue
-        if sky and forced:
+        if forced and (sky or args.transformed):
             continue            # blocked-overhead rows add nothing here
+        if args.transformed and kind != "spheres":
+            continue
         try:
             print(json.dumps(measure(n, forced, kind=kind, sky=sky,
-                                     depth=args.depth)), flush=True)
+                                     depth=args.depth,
+                                     transformed=args.transformed)),
+                  flush=True)
         except Exception as e:
             print(json.dumps({"units": n, "kind": kind,
                               "error": repr(e)[:200]}),
