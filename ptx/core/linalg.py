@@ -22,7 +22,15 @@ is applied first.  We expose that as ``compose(outer, inner)``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# einsum/matmul precision: HIGHEST everywhere in this module.  These
+# contractions build TRANSFORMS (rays into object space, normals back,
+# affine composition/inversion) — at the TPU MXU's default bf16 passes
+# they would carry ~0.1-0.4% error into geometry, the same class as the
+# round-5 plane-interval bug (ptx/geom/fasthit._leaf_intervals_grouped).
+_HP = jax.lax.Precision.HIGHEST
 
 from ptx.core.constants import EPS
 
@@ -180,21 +188,24 @@ def rotate_z(angle):
 def apply(A, v):
     """``L @ v + t`` with batched ``A`` ``(..., 3, 4)`` / ``v`` ``(..., 3)``."""
     A = jnp.asarray(A)
-    return jnp.einsum("...ij,...j->...i", A[..., :, :3], v) + A[..., :, 3]
+    return jnp.einsum("...ij,...j->...i", A[..., :, :3], v,
+                      precision=_HP) + A[..., :, 3]
 
 
 def apply_linear(A, v):
     """Linear part only — the reference's ``applyNoTranslate``
     (transform.h:416-421), used for directions and normals."""
-    return jnp.einsum("...ij,...j->...i", jnp.asarray(A)[..., :, :3], v)
+    return jnp.einsum("...ij,...j->...i", jnp.asarray(A)[..., :, :3],
+                      v, precision=_HP)
 
 
 def compose(outer, inner):
     """Affine whose action is ``apply(outer, apply(inner, v))``."""
     outer = jnp.asarray(outer)
     inner = jnp.asarray(inner)
-    lin = outer[..., :, :3] @ inner[..., :, :3]
-    t = jnp.einsum("...ij,...j->...i", outer[..., :, :3], inner[..., :, 3]) + outer[..., :, 3]
+    lin = jnp.matmul(outer[..., :, :3], inner[..., :, :3], precision=_HP)
+    t = jnp.einsum("...ij,...j->...i", outer[..., :, :3],
+                   inner[..., :, 3], precision=_HP) + outer[..., :, 3]
     return jnp.concatenate([lin, t[..., :, None]], axis=-1)
 
 
@@ -206,7 +217,8 @@ def inverse(A):
     """Closed-form inverse of the affine (transform.h:350-383)."""
     A = jnp.asarray(A)
     lin_inv = jnp.linalg.inv(A[..., :, :3])
-    t = -jnp.einsum("...ij,...j->...i", lin_inv, A[..., :, 3])
+    t = -jnp.einsum("...ij,...j->...i", lin_inv, A[..., :, 3],
+                    precision=_HP)
     return jnp.concatenate([lin_inv, t[..., :, None]], axis=-1)
 
 

@@ -315,8 +315,17 @@ def _leaf_intervals_grouped(leaves, params, ox, oy, oz, dx, dy, dz):
         dp = params["plane_d"][gi]                           # (Lp,)
         o_mat = jnp.stack([ox, oy, oz])                      # (3, B)
         d_mat = jnp.stack([dx, dy, dz])
-        divisor = n @ d_mat                                  # (Lp, B)
-        numer = -dp[:, None] - (n @ o_mat)
+        # precision=HIGHEST is CORRECTNESS, not tuning: the TPU MXU's
+        # default bf16 passes gave plane boundaries ~0.1-0.4% error —
+        # which mis-ordered close box-corner entries and voided near-EPS
+        # ground exits.  The entire round-4 "0.11% megasweep flip class"
+        # was THIS path being wrong while the kernel was right: on every
+        # f64-adjudicated flip lane the mega kernel matched the span
+        # oracle and the CPU fixpoint exactly (round 5; the class-aware
+        # gate in tools/mega_check.py now pins the corrected behavior).
+        hp = jax.lax.Precision.HIGHEST
+        divisor = jnp.matmul(n, d_mat, precision=hp)         # (Lp, B)
+        numer = -dp[:, None] - jnp.matmul(n, o_mat, precision=hp)
         safe_div = jnp.where(jnp.abs(divisor) < EPS * EPS, 1.0, divisor)
         t = numer / safe_div
         degenerate = (jnp.abs(divisor) < EPS * EPS) | (

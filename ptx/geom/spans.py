@@ -224,7 +224,9 @@ def transform_normals(sl: SpanList, nrm_mat) -> SpanList:
     (span.h:122-127; object.h:45-70 applies the wrapped transform's
     inverse-transpose here — see ptx.geom.tape.Transformed)."""
     def xf(n):
-        out = jnp.einsum("...ij,...kj->...ki", nrm_mat, n)
+        import jax
+        out = jnp.einsum("...ij,...kj->...ki", nrm_mat, n,
+                         precision=jax.lax.Precision.HIGHEST)
         mag = jnp.linalg.norm(out, axis=-1, keepdims=True)
         return out / jnp.where(mag == 0, 1.0, mag)
     return sl._replace(n0=xf(sl.n0), n1=xf(sl.n1))

@@ -300,7 +300,8 @@ def sample_scatter_dir(key, direction, normal, scatter_c, return_raw=False,
     m2 = jnp.sum(normal * normal, axis=-1)
     m = jnp.sqrt(jnp.where(m2 == 0.0, 1.0, m2))
     nhat = normal / m[..., None]
-    c = (EPS - jnp.einsum("...i,...i->...", normal, bias)) / m
+    c = (EPS - jnp.einsum("...i,...i->...", normal, bias,
+                          precision=jax.lax.Precision.HIGHEST)) / m
     feasible = c < 1.0
     cc = jnp.clip(c, -1.0, 1.0)
 
@@ -368,7 +369,8 @@ def select_scatter_dir(u, direction, normal, scatter_c, return_raw=False):
 
     in_ball = jnp.sum(u * u, axis=-1) <= 1.0          # cube→ball rejection
     cand = u + bias[..., None, :]
-    above = jnp.einsum("...i,...ti->...t", normal, cand) > EPS
+    above = jnp.einsum("...i,...ti->...t", normal, cand,
+                       precision=jax.lax.Precision.HIGHEST) > EPS
     ok_t = in_ball & above
     accepted = jnp.any(ok_t, axis=-1)
     first = jnp.argmax(ok_t, axis=-1)

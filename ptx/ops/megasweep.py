@@ -1076,7 +1076,9 @@ def _leaf_world_bounds(leaves, params):
             w = _lin.compose(w, params["xform"][ch[:, j]])
         lin, tvec = w[:, :, :3], w[:, :, 3]
         c = params["sphere_center"][gi]
-        parts_c.append(jnp.einsum("nij,nj->ni", lin, c) + tvec)
+        parts_c.append(jnp.einsum("nij,nj->ni", lin, c,
+                                  precision=jax.lax.Precision.HIGHEST)
+                       + tvec)
         parts_r.append(jnp.abs(params["sphere_radius"][gi])
                        * jnp.sqrt(jnp.sum(lin * lin, axis=(1, 2))))
         order += idxs

@@ -99,8 +99,13 @@ def _bwd(res, ct):
     idx_flat = idx.reshape(-1)
     ct_flat = ct.reshape(idx_flat.shape[0], payload)
     oh = jax.nn.one_hot(idx_flat, R, dtype=ct_flat.dtype)      # (B, R)
+    # HIGHEST is correctness: at default precision the MXU rounds each
+    # cotangent to bf16 before accumulating (~0.4% per term — the
+    # round-2 "1e-2 grad error" class); the one-hot side alone being
+    # exact does not save the values
     d_table = jax.lax.dot_general(
         oh, ct_flat, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)                    # (R, P)
     return d_table.reshape(shape), None
 

@@ -16,16 +16,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _adjudicate_flips(scene, o_np, d_np, lanes):
     """f64 recompute at flip lanes (VERDICT r4 #8): a flip is ACCEPTED
-    only when the lane provably sits within f32 rounding noise of a
-    measure-zero decision boundary (the class README delta 8 documents):
-    a sphere's grazing-tangency disc at the EPS cut, a plane's
-    divisor/on-boundary guard at the EPS² cut, an endpoint at the EPS
-    validity cut, or two event endpoints rounding-coincident (tie-break
-    order).  Margins are measured in f64 relative to the f32 rounding
-    scale of the deciding expression; TOL f32-ulps of slack cover the
-    paths' differing fma contraction.  A kernel bug that shifts results
-    by more than rounding (see PTX_MEGA_PERTURB) produces flips whose
-    margins are ~1e4 ulps — REJECTED regardless of flip fraction.
+    only when the lane provably sits within f32 EVALUATION error of a
+    decision boundary (the class README delta 8 documents): a sphere's
+    grazing-tangency disc at the EPS cut, a plane's divisor/on-boundary
+    guard at the EPS² cut, an endpoint at the EPS validity cut, or two
+    event endpoints evaluation-coincident (tie-break/chain order).
+
+    The tolerance is NOT ulps of the result: near tangency the f32
+    boundary t carries a cancellation-amplified error — err(disc) ≈
+    ulp·(b² + |a·cc|) even when disc itself is tiny, and err(t) inherits
+    err(disc)/(2·√disc)/a — so each margin is measured against a
+    first-order f64 propagation bound of the f32 evaluation error of the
+    deciding expression, with TOL× slack for the two paths' differing
+    fma contraction.  A kernel bug that shifts results beyond rounding
+    (PTX_MEGA_PERTURB ≫ the error bound at non-grazing lanes) produces
+    flips at well-separated boundaries — REJECTED regardless of flip
+    fraction (--selftest proves it).
     Returns the number of flips NOT adjudicable as boundary rounding."""
     import numpy as np
     from ptx.core.constants import EPS, MAX_VALUE
@@ -38,14 +44,14 @@ def _adjudicate_flips(scene, o_np, d_np, lanes):
     pn = np.asarray(p["plane_normal"], np.float64)
     pd = np.asarray(p["plane_d"], np.float64)
     ulp = float(np.finfo(np.float32).eps)            # 1.19e-7
-    TOL = 64.0                                       # f32-ulps of slack
+    TOL = 16.0                                       # fma/fusion slack
     eps = float(EPS)
     n_real = 0
     for li in lanes:
         o = o_np[li].astype(np.float64)
         d = d_np[li].astype(np.float64)
         margins = []
-        endpoints = []
+        endpoints = []                               # (t, err_t)
         for lf, _par in leaves:
             assert not lf.xform_chain, "gate scene is untransformed"
             if lf.kind == "sphere":
@@ -55,36 +61,44 @@ def _adjudicate_flips(scene, o_np, d_np, lanes):
                 b = oc @ d
                 cc = oc @ oc - r * r
                 disc = b * b - a * cc
-                scale = ulp * (abs(b * b) + abs(a * cc) + eps)
-                margins.append(abs(disc - eps) / scale)
+                err_disc = ulp * (b * b + abs(a * cc) + abs(disc))
+                margins.append(abs(disc - eps) / (TOL * err_disc))
                 if disc > eps and a != 0.0:
                     sq = np.sqrt(disc)
-                    endpoints += [(-b - sq) / a, (-b + sq) / a]
+                    err_sq = err_disc / (2.0 * sq) + ulp * sq
+                    for t in ((-b - sq) / a, (-b + sq) / a):
+                        err_t = ((ulp * abs(b) + err_sq) / a
+                                 + ulp * abs(t))
+                        endpoints.append((t, err_t))
             else:
                 nv, dd = pn[lf.index], pd[lf.index]
                 divisor = nv @ d
                 numer = -dd - nv @ o
-                s1 = ulp * (np.abs(nv) @ np.abs(d) + 1e-30)
-                margins.append(abs(abs(divisor) - eps * eps) / s1)
-                s2 = ulp * (abs(dd) + np.abs(nv) @ np.abs(o) + 1e-30)
-                margins.append(abs(abs(numer) - eps * eps) / s2)
+                err_div = ulp * (np.abs(nv) @ np.abs(d) + abs(divisor))
+                err_num = ulp * (abs(dd) + np.abs(nv) @ np.abs(o)
+                                 + abs(numer))
+                margins.append(abs(abs(divisor) - eps * eps)
+                               / (TOL * err_div))
+                margins.append(abs(abs(numer) - eps * eps)
+                               / (TOL * err_num))
                 if abs(divisor) >= eps * eps:
                     t = numer / divisor
                     if abs(t) < MAX_VALUE:
-                        endpoints.append(t)
-        ep = np.asarray(endpoints, np.float64)
-        if ep.size:
+                        err_t = ((err_num + abs(t) * err_div)
+                                 / abs(divisor) + ulp * abs(t))
+                        endpoints.append((t, err_t))
+        if endpoints:
+            ep = np.asarray([t for t, _ in endpoints], np.float64)
+            ee = np.asarray([e for _, e in endpoints], np.float64)
             # endpoint at the EPS validity/selection cut
-            margins += list(np.abs(ep - eps) /
-                            (ulp * np.maximum(np.abs(ep), 1.0)))
-            # rounding-coincident endpoint pair (tie-break flip class)
+            margins += list(np.abs(ep - eps) / (TOL * ee))
+            # evaluation-coincident endpoint pair (tie-break/chain flip)
             if ep.size > 1:
                 dif = np.abs(ep[:, None] - ep[None, :])
-                sc = (ulp * np.maximum(np.abs(ep)[:, None],
-                                       np.abs(ep)[None, :]) + 1e-300)
+                sc = TOL * (ee[:, None] + ee[None, :])
                 iu = np.triu_indices(ep.size, 1)
                 margins.append(float((dif / sc)[iu].min()))
-        if not margins or min(margins) > TOL:
+        if not margins or min(margins) > 1.0:
             n_real += 1
     return n_real
 
@@ -224,7 +238,10 @@ def main():
     if args.selftest:
         # subprocess: _PERTURB is read at megasweep import time
         import subprocess
-        env = dict(os.environ, PTX_MEGA_PERTURB="2e-4")
+        # 0.05 shifts sphere entries far beyond any evaluation-error
+        # bound at non-grazing lanes — every resulting flip must be
+        # adjudicated REAL
+        env = dict(os.environ, PTX_MEGA_PERTURB="0.05")
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sizes", "57",
              "--modes", ""],

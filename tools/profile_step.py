@@ -35,7 +35,9 @@ def run(mode="grad", iters=6, logdir="/tmp/ptx-prof", sky=None):
 
     width = height = 512
     depth = 16
-    rows = height // 2
+    # match bench.py's benchmark-of-record chunk shape: H/4 (65k-ray
+    # chunks) on the demo, H/2 for big-probe variants
+    rows = height // (2 if sky else 4)
     sky_img = procedural_sky_image(*sky) if sky else None
     scene = compile_scene(make_world(sky_image=sky_img))
     cam = Camera.reference_demo(width, height)

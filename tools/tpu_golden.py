@@ -147,7 +147,10 @@ def run_golden():
     assert np.isfinite(np.asarray(hm["t"])).all()
     assert np.isfinite(np.asarray(hm["normal"])).all()
     log("tpu_golden_megasweep", flip_frac=round(mega_flip, 5))
-    assert mega_flip < 3e-3, f"megasweep flip fraction {mega_flip}"
+    # bit-exact since the round-5 bf16 plane-interval fix (README delta
+    # 8 history); the bound keeps headroom for toolchain fma drift only,
+    # and tools/mega_check.py's f64 class-aware gate is the strict check
+    assert mega_flip < 1e-3, f"megasweep flip fraction {mega_flip}"
 
     # --- 4. fused mega bounce + row-fed replay backward (round 4) ------
     # scene_s compiled above with the defaults = fused mega bounce
