@@ -47,7 +47,8 @@ def main():
     scene = tr.compile_scene(stress_spheres(args.n))
     cam = Camera.reference_demo(512, 512)
     key = jax.random.PRNGKey(0)
-    o, d = sample_rays(cam, key, jnp.arange(128), jnp.arange(512), 1)
+    # full-frame row subsample — see tools/scale_bench.py band comment
+    o, d = sample_rays(cam, key, jnp.arange(128) * 4, jnp.arange(512), 1)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     B = o.shape[0]
 

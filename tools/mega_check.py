@@ -168,7 +168,8 @@ def throughput(n, mode, depth):
     L = len(collect_leaves(scene.plan))
     cam = Camera.reference_demo(512, 512)
     key = jax.random.PRNGKey(0)
-    o, d = sample_rays(cam, key, jnp.arange(128), jnp.arange(512), 1)
+    # full-frame row subsample — see tools/scale_bench.py band comment
+    o, d = sample_rays(cam, key, jnp.arange(128) * 4, jnp.arange(512), 1)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
 
     @jax.jit

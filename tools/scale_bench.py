@@ -46,7 +46,15 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
     L = len(collect_leaves(scene.plan))
     cam = Camera.reference_demo(512, 512)
     key = jax.random.PRNGKey(0)
-    o, d = sample_rays(cam, key, jnp.arange(128), jnp.arange(512), 1)
+    # FULL-FRAME row subsample (every 4th row), not the top band: round-5
+    # audit found ys=arange(128) = the frame's top quarter, where EVERY
+    # ray hits the sky at bounce 0 (mat histogram: 65536× sky) — the
+    # ladder was measuring sky-view traces.  The subsampled band sees
+    # the real mix (measured bounce-0 histogram at L=32: ~51% sky, 30%
+    # ground, 19% spheres) so culling, shading, and emission run their
+    # production patterns.  Historical rows (rounds 3-4) used the old
+    # band; cross-round comparisons must re-measure, not mix.
+    o, d = sample_rays(cam, key, jnp.arange(128) * 4, jnp.arange(512), 1)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
 
     # ONE-DISPATCH device-side loop (bench.py round-4 lesson: chained
