@@ -30,6 +30,7 @@ clip/bounds test is done by the caller, which passes ``inb``.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -339,11 +340,43 @@ def _bwd(res, ct):
         d_img = jax.lax.platform_dependent(xi, yi, ct, tpu=tpu_path,
                                            default=scatter_path)
     elif _banded_eligible(H, W, C):
-        def tpu_path(xi, yi, ct):
-            y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
-            x = xi.astype(jnp.float32).reshape(-1)
-            hist = _build_banded_hist(H, W, C, interpret=False)
-            return hist(y, x, ct.reshape(-1, C))
+        # PTX_IMG_GRAD_COARSE=k (opt-in, k a power of two): accumulate
+        # the cotangent at k×k-COARSENED resolution through the VMEM MXU
+        # histogram (no sort, no permutation row gather, no banded
+        # kernel — the three per-row costs of the exact transpose), then
+        # spread each coarse bin's mass uniformly over its k² fine
+        # texels.  Per-bin TOTALS are exact; per-texel values are the
+        # bin average — a mip-preconditioned gradient, the estimator
+        # idea docs/perf_roofline.md's 3k floor proof names.  Default
+        # off: the exact binned transpose stays the production path.
+        k_env = int(os.environ.get("PTX_IMG_GRAD_COARSE", "0"))
+        Hc, Wc = -(-H // max(k_env, 1)), -(-W // max(k_env, 1))
+        if k_env > 1 and _hist_eligible(Hc, Wc, C):
+            def tpu_path(xi, yi, ct):
+                y = jnp.where(inb, yi // k_env, -1)
+                y = y.astype(jnp.float32).reshape(-1)
+                x = (xi // k_env).astype(jnp.float32).reshape(-1)
+                vals = ct.reshape(-1, C)
+                n = y.shape[0]
+                pad = (-n) % _LANES
+                if pad:
+                    y = jnp.concatenate(
+                        [y, jnp.full((pad,), -1.0, jnp.float32)])
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad,), jnp.float32)])
+                    vals = jnp.concatenate(
+                        [vals, jnp.zeros((pad, C), jnp.float32)])
+                hist = _build_hist(Hc, Wc, C, interpret=False)
+                g = hist(y, x, vals) / float(k_env * k_env)
+                g = jnp.repeat(jnp.repeat(g, k_env, axis=0), k_env,
+                               axis=1)
+                return g[:H, :W]
+        else:
+            def tpu_path(xi, yi, ct):
+                y = jnp.where(inb, yi, -1).astype(jnp.float32).reshape(-1)
+                x = xi.astype(jnp.float32).reshape(-1)
+                hist = _build_banded_hist(H, W, C, interpret=False)
+                return hist(y, x, ct.reshape(-1, C))
 
         d_img = jax.lax.platform_dependent(xi, yi, ct, tpu=tpu_path,
                                            default=scatter_path)

@@ -56,6 +56,18 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
     # band; cross-round comparisons must re-measure, not mix.
     o, d = sample_rays(cam, key, jnp.arange(128) * 4, jnp.arange(512), 1)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    # PTX_TILE_ORDER=1: permute the flat batch so each 512-lane kernel
+    # block is a 16×32-pixel image TILE instead of one full 512-wide
+    # row.  Row-shaped blocks give block frustums spanning the whole
+    # scene horizontally — measured 100% of (cluster, block) pairs
+    # active at the primary bounce (tools/cull_stats.py round 5); tile
+    # blocks make primary culling possible.  Ray order is estimator-
+    # neutral (counter-mode RNG keys by lane, radiance is per-lane).
+    if os.environ.get("PTX_TILE_ORDER", "0") == "1":
+        import numpy as _np
+        perm = (_np.arange(128 * 512).reshape(8, 16, 16, 32)
+                .transpose(0, 2, 1, 3).reshape(-1))
+        o, d = o[perm], d[perm]
 
     # ONE-DISPATCH device-side loop (bench.py round-4 lesson: chained
     # host dispatches track tunnel latency — the same trace measured
