@@ -84,6 +84,13 @@ class CompiledScene:
     bounce_bwd_fn: Callable = None   # fused replay-VJP kernel (same module)
     emission_fn: Callable = None     # fused emission kernel (ptx.ops.emission_kernel)
     _manual_bounce: Callable = None  # cached custom-VJP bounce step
+    # large-scene TPU path: trace_rays tiles (rows, cols) batches into
+    # 16×32-pixel blocks so each 512-lane kernel block is a compact 2-D
+    # image tile — primary-block cull frustums were scene-spanning image
+    # rows before (100% of (cluster, block) pairs active,
+    # tools/cull_stats.py round 5; tiling measured +56% fwd at L=256
+    # depth 4, neutral at depth 16)
+    tile_hint: bool = False
 
 
 def compile_scene(root, fast: bool = True,
@@ -208,7 +215,9 @@ def compile_scene(root, fast: bool = True,
                          n_materials=len(ordered_materials), plan=plan,
                          hit_fn=hit_fn, hit_replay_fn=hit_replay_fn,
                          bounce_fn=bounce_fn, bounce_bwd_fn=bounce_bwd_fn,
-                         emission_fn=emission_fn)
+                         emission_fn=emission_fn,
+                         tile_hint=bool(fast and pallas
+                                        and n_leaves > kernel_max))
 
 
 # ---------------------------------------------------------------------------
@@ -869,6 +878,29 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     if len(batch_shape) != 1:
         origin = origin.reshape(-1, 3)
         direction = direction.reshape(-1, 3)
+    # Large-scene tile ordering (scene.tile_hint): permute (…, rows, W)
+    # batches so each 512-lane kernel block is a 16×32-pixel image tile
+    # — block cull frustums become compact instead of scene-spanning
+    # rows (100% → ~50% active pairs at the primary bounce; +56% fwd at
+    # L=256 depth 4, neutral at depth 16 — tools/cull_stats.py +
+    # scale_bench A/B, round 5).  Ray order is estimator-neutral
+    # (counter-mode RNG keys by lane); the radiance inverse-permutes
+    # before the final reshape.  Estimates CHANGE (different RNG lane
+    # assignment) only for scenes on this path.
+    tile_inv = None
+    if (scene.tile_hint and len(batch_shape) >= 2
+            and batch_shape[-2] % 16 == 0 and batch_shape[-1] % 32 == 0):
+        rows_t, w_t = batch_shape[-2], batch_shape[-1]
+        lead = 1
+        for s in batch_shape[:-2]:
+            lead *= s
+        perm = np.arange(lead * rows_t * w_t).reshape(
+            lead, rows_t // 16, 16, w_t // 32, 32).transpose(
+            0, 1, 3, 2, 4).reshape(-1)
+        tile_inv = jnp.asarray(np.argsort(perm))
+        perm = jnp.asarray(perm)
+        origin = origin[perm]
+        direction = direction[perm]
     if manual_vjp is None:
         manual_vjp = scene.hit_fn is not None and scene.hit_replay_fn is not None
 
@@ -1022,6 +1054,8 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             saved.append((ys, orig_idx))
 
     if use_inscan:
+        if tile_inv is not None:
+            radiance = radiance[tile_inv]
         return radiance.reshape(batch_shape + (3,))
 
     # ALL phases' emission in ONE texture evaluation (and, in reverse
@@ -1167,4 +1201,6 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
             radiance = radiance.at[jnp.clip(orig, 0, B - 1)].add(
                 jnp.where((orig < B)[..., None], contrib, 0.0),
                 indices_are_sorted=True)
+    if tile_inv is not None:
+        radiance = radiance[tile_inv]
     return radiance.reshape(batch_shape + (3,))

@@ -106,3 +106,26 @@ def test_composed_mega_bounce_stays_eligible_and_exact(monkeypatch):
                   "scatter_alive"):
         assert (np.asarray(dec_f[kname])
                 == np.asarray(dec_u[kname])).all(), kname
+
+
+def test_tile_order_permutation_is_identity_at_depth0():
+    """trace_rays' large-scene tile ordering (scene.tile_hint) permutes
+    rays into 16×32 image tiles and inverse-permutes radiance.  At depth
+    0 the per-ray radiance is RNG-free (primary hit + emission only), so
+    the tiled and untiled results must be IDENTICAL pixel-for-pixel — a
+    broken inverse permutation scrambles the image."""
+    scene = tr.compile_scene(stress_spheres(16), pallas=False)
+    from ptx.integrate.camera import Camera, sample_rays
+    cam = Camera.reference_demo(64, 64)
+    key = jax.random.PRNGKey(2)
+    o, d = sample_rays(cam, key, jnp.arange(32), jnp.arange(64), 1)
+
+    r_plain = np.asarray(jax.jit(
+        lambda p: tr.trace_rays(scene, p, o, d, key, 0))(scene.params))
+    scene.tile_hint = True
+    r_tiled = np.asarray(jax.jit(
+        lambda p: tr.trace_rays(scene, p, o, d, key, 0))(scene.params))
+    scene.tile_hint = False
+    assert r_plain.shape == r_tiled.shape == (1, 32, 64, 3)
+    np.testing.assert_array_equal(r_tiled, r_plain)
+    assert float(np.abs(r_plain).max()) > 0
