@@ -100,7 +100,40 @@ def compile_scene(root, fast: bool = True,
     ``pallas`` selects the fused Pallas first-hit megakernel
     (ptx.ops.fasthit_kernel); default: on when running on TPU, overridable
     via the PTX_PALLAS env var ("1"/"0").
+
+    Scene building runs under a CPU default device: it is hundreds of
+    small EAGER jnp ops (tape constants, texture tables, kernel
+    metadata), and on the remote-TPU backend each eager dispatch pays
+    ~30-150 ms of tunnel latency — measured 25-140 s of scene_build for
+    the 13-leaf demo (tools/compile_breakdown.py, round 5) vs ~1 s
+    locally.  The arrays are uncommitted, so the first jitted call
+    transfers them to the accelerator exactly as before.
     """
+    import os
+
+    from ptx.geom.fasthit import compile_fast_hit
+
+    if pallas is None:
+        env = os.environ.get("PTX_PALLAS")
+        if env is not None:
+            pallas = env == "1"
+        else:
+            pallas = jax.default_backend() == "tpu"
+    if jax.default_backend() != "cpu":
+        cpus = jax.devices("cpu")
+        if cpus:
+            with jax.default_device(cpus[0]):
+                scene = _compile_scene_body(root, fast, pallas)
+            # ONE batched transfer back to the accelerator: params left
+            # committed to CPU would otherwise be re-transferred (or
+            # worse, re-sharded) on EVERY dispatch — measured 406.9 →
+            # 150 Mrays/s on the bench chain before this device_put
+            scene.params = jax.device_put(scene.params, jax.devices()[0])
+            return scene
+    return _compile_scene_body(root, fast, pallas)
+
+
+def _compile_scene_body(root, fast: bool, pallas: bool) -> CompiledScene:
     import os
 
     from ptx.geom.fasthit import compile_fast_hit

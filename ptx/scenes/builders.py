@@ -10,6 +10,7 @@ live here too.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -20,6 +21,27 @@ from ptx.geom.tape import (Difference, Intersection, Plane, Sphere,
                            Transformed, Union)
 from ptx.shade.materials import Material, transform_material
 from ptx.shade import textures as tx
+
+
+def _build_on_cpu(fn):
+    """Run a scene builder under a CPU default device: builders are
+    chains of tiny EAGER jnp ops (rotate/translate/compose + np.asarray
+    fetches), and on the remote-TPU backend each eager dispatch/fetch
+    pays seconds of tunnel + remote-compile latency — make_world alone
+    profiled at 99 s of `jax.Array._value` fetches (round 5,
+    tools/compile_breakdown.py investigation) vs ~0.1 s on local CPU.
+    Arrays stay uncommitted; jit transfers them on first use."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        import jax
+        if jax.default_backend() == "cpu":
+            return fn(*a, **k)
+        cpus = jax.devices("cpu")
+        if not cpus:
+            return fn(*a, **k)
+        with jax.default_device(cpus[0]):
+            return fn(*a, **k)
+    return wrapped
 
 
 def union_array(objects):
@@ -101,6 +123,7 @@ def procedural_sky_image(h=64, w=128):
 # demo + baseline scenes
 # ---------------------------------------------------------------------------
 
+@_build_on_cpu
 def make_world(sky_image=None):
     """The reference demo scene (test.cpp:107-145): two small diffuse
     spheres, a glass CSG bulb (sphere ∩ (plane ∪ emissive core)), a glass
@@ -147,6 +170,7 @@ def _stress_sky(sky_image):
         make_sky_spherical(sky_image, scale=(0.01, 0.01, 0.01)))
 
 
+@_build_on_cpu
 def stress_spheres(n: int, seed: int = 0, sky_image=None,
                    transformed: bool = False):
     """Arbitrary-scale stress scene: ``n`` spheres in a jittered grid over
@@ -197,6 +221,7 @@ def stress_spheres(n: int, seed: int = 0, sky_image=None,
     ])
 
 
+@_build_on_cpu
 def stress_gadgets(n: int, seed: int = 0, sky_image=None):
     """Mixed-CSG stress scene: ``n`` compound gadgets in a jittered grid
     over a ground plane under an emissive sky.  Gadgets cycle through the
@@ -246,6 +271,7 @@ def stress_gadgets(n: int, seed: int = 0, sky_image=None):
     ])
 
 
+@_build_on_cpu
 def baseline_config1():
     """BASELINE config #1: single diffuse sphere + ground plane, constant
     sky — the minimum end-to-end slice."""
@@ -259,6 +285,7 @@ def baseline_config1():
     ])
 
 
+@_build_on_cpu
 def baseline_config2():
     """BASELINE config #2: CSG union/intersection/difference of transformed
     spheres and planes, diffuse only."""
@@ -282,6 +309,7 @@ def baseline_config2():
     return union_array([csg, Plane((0.0, 1.0, 0.0), 1.0, red), *sky_planes(sky)])
 
 
+@_build_on_cpu
 def baseline_config3():
     """BASELINE config #3: specular reflection + glass transmission,
     multi-bounce."""
@@ -298,6 +326,7 @@ def baseline_config3():
     ])
 
 
+@_build_on_cpu
 def baseline_config4(sky_image=None):
     """BASELINE config #4: HDR environment lighting + image-textured
     material."""
