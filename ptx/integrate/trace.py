@@ -920,8 +920,12 @@ def trace_rays(scene: CompiledScene, params, origin, direction, key,
     # (counter-mode RNG keys by lane); the radiance inverse-permutes
     # before the final reshape.  Estimates CHANGE (different RNG lane
     # assignment) only for scenes on this path.
+    # depth gate: at production depth (16) compaction dominates and the
+    # permute gathers measured −13% (202.0 vs 236.5 at L=256 d16); the
+    # +41% win lives at shallow depth where primaries dominate (65.0 vs
+    # 44.3 fwd at d4 through this in-trace path)
     tile_inv = None
-    if (scene.tile_hint and len(batch_shape) >= 2
+    if (scene.tile_hint and depth <= 8 and len(batch_shape) >= 2
             and batch_shape[-2] % 16 == 0 and batch_shape[-1] % 32 == 0):
         rows_t, w_t = batch_shape[-2], batch_shape[-1]
         lead = 1

@@ -54,20 +54,15 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
     # ground, 19% spheres) so culling, shading, and emission run their
     # production patterns.  Historical rows (rounds 3-4) used the old
     # band; cross-round comparisons must re-measure, not mix.
+    # SHAPED (1, 128, 512, 3) batch — exactly what the CLI/render path
+    # passes — so trace_rays' own large-scene TILE ORDERING applies
+    # (16×32-pixel blocks; row-shaped blocks measured 100% of
+    # (cluster, block) pairs active at primaries — tools/cull_stats.py;
+    # tiling +56% fwd at L=256 depth 4).  PTX_TILE_ORDER=0 flattens the
+    # batch to A/B the untiled path.
     o, d = sample_rays(cam, key, jnp.arange(128) * 4, jnp.arange(512), 1)
-    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-    # PTX_TILE_ORDER=1: permute the flat batch so each 512-lane kernel
-    # block is a 16×32-pixel image TILE instead of one full 512-wide
-    # row.  Row-shaped blocks give block frustums spanning the whole
-    # scene horizontally — measured 100% of (cluster, block) pairs
-    # active at the primary bounce (tools/cull_stats.py round 5); tile
-    # blocks make primary culling possible.  Ray order is estimator-
-    # neutral (counter-mode RNG keys by lane, radiance is per-lane).
-    if os.environ.get("PTX_TILE_ORDER", "0") == "1":
-        import numpy as _np
-        perm = (_np.arange(128 * 512).reshape(8, 16, 16, 32)
-                .transpose(0, 2, 1, 3).reshape(-1))
-        o, d = o[perm], d[perm]
+    if os.environ.get("PTX_TILE_ORDER", "1") == "0":
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
 
     # ONE-DISPATCH device-side loop (bench.py round-4 lesson: chained
     # host dispatches track tunnel latency — the same trace measured
@@ -94,7 +89,7 @@ def measure(n_spheres, force_blocked=False, depth=4, kind="spheres",
         fetch(x)
         dts.append(time.perf_counter() - t0)
     dt = sorted(dts)[1] / iters
-    B = o.shape[0]
+    B = o[..., 0].size               # lanes, any batch shape
 
     # fwd+bwd — the headline metric had never been measured at scale
     # (VERDICT r2 #4).  Same dependent-chain + bytes-fetch methodology.
