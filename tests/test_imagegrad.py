@@ -124,3 +124,29 @@ def test_binned_hist_compiled_matches_oracle_tpu():
     g = jax.jit(jax.grad(loss))(jnp.asarray(img))
     want = _scatter_oracle(*img.shape, yc, xc, inb, vals)
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=3e-5)
+
+
+def test_coarse_estimator_bin_totals_exact():
+    """PTX_IMG_GRAD_COARSE semantics (round 5): the opt-in coarse-bin
+    sky-gradient estimator accumulates cotangents at k×k-coarsened
+    resolution and spreads each bin's mass uniformly — per-BIN totals
+    must equal the exact transpose's (that is the estimator's contract;
+    per-texel values are deliberately the bin average).  Checked against
+    the scatter oracle via the same interpret-mode histogram the
+    backward uses (ONE call, CLAUDE.md interpret-cost rule)."""
+    k = 8
+    H, W, C = 32, 48, 3
+    img, xi, yi, xc, yc, inb, vals = _case(H=H, W=W, C=C,
+                                           N=imagegrad._LANES, seed=9)
+    vals = vals[:, :C]
+    Hc, Wc = H // k, W // k
+    hist = imagegrad._build_hist(Hc, Wc, C, interpret=True)
+    y = jnp.asarray(np.where(inb, yc // k, -1), jnp.float32)
+    x = jnp.asarray(xc // k, jnp.float32)
+    g = np.asarray(hist(y, x, jnp.asarray(vals))) / (k * k)
+    gf = np.repeat(np.repeat(g, k, 0), k, 1)[:H, :W]
+
+    exact = _scatter_oracle(H, W, C, yc, xc, inb, vals)
+    bt_exact = exact.reshape(Hc, k, Wc, k, C).sum((1, 3))
+    bt_coarse = gf.reshape(Hc, k, Wc, k, C).sum((1, 3))
+    np.testing.assert_allclose(bt_coarse, bt_exact, rtol=2e-5, atol=1e-4)
